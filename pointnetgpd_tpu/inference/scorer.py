@@ -1,0 +1,184 @@
+"""Batched grasp-candidate scorer: the whole scene in one device call.
+
+The reference scores candidates one at a time on the host
+(reference: dex-net/apps/kinect2grasp.py:454-497 — a Python loop of
+batch-size-1 ``test_network`` calls, each with its own numpy resampling), and
+votes over ``repeat`` resamples with ``scipy.stats.mode``
+(main_test.py:72-95). Here the candidate axis AND the repeat axis are batch
+dimensions of a single jitted forward pass; cropping, resampling, voting, and
+ranking all happen on device.
+
+Reference quirk reproduced on purpose: the deployed scorer applies softmax on
+top of the model's log_softmax output (main_test.py:65-66 — ``output, _ =
+model_(local_pc); output = output.softmax(1)``), so "probabilities" are
+softmax(log_probs). We keep those semantics for checkpoint-level parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.pointnet import apply_pointnet_cls
+from ..ops.crop import collect_candidate_clouds
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("dual", "num_points", "repeat"))
+def score_cloud_batch(params, state, clouds, valid, key, *,
+                      dual: bool = False, num_points: int = 500, repeat: int = 1):
+    """Score (G, P, 3) candidate clouds with repeat-voting.
+
+    Each candidate is resampled ``repeat`` times to ``num_points`` points
+    (uniform with replacement — matching the reference's per-repeat
+    ``np.random.choice`` over the crop, kinect2grasp.py:472-478), scored in
+    ONE forward pass of shape (G*repeat, num_points, C), then majority-voted.
+
+    Returns:
+      pred:   (G,) voted class (0 for invalid candidates)
+      prob:   (G, k) mean softmax(log_probs) over the agreeing repeats
+      votes:  (G, repeat) per-repeat predictions
+    """
+    g, p_in, c = clouds.shape
+    keys = jax.random.split(key, g * repeat)
+
+    def resample(cloud, k):
+        idx = jax.random.randint(k, (num_points,), 0, p_in)
+        return cloud[idx]
+
+    rep_clouds = jnp.repeat(clouds, repeat, axis=0)  # (G*R, P, C)
+    batch = jax.vmap(resample)(rep_clouds, keys)     # (G*R, N, C)
+
+    (logp, _), _ = apply_pointnet_cls(params, state, batch, train=False, dual=dual)
+    probs = jax.nn.softmax(logp, axis=-1)            # reference quirk (main_test.py:66)
+    k_cls = probs.shape[-1]
+    probs = probs.reshape(g, repeat, k_cls)
+    votes = jnp.argmax(probs, axis=-1)               # (G, R)
+
+    # majority vote == argmax of one-hot counts; ties resolve to the smallest
+    # class index, same as scipy.stats.mode (main_test.py:93).
+    counts = jnp.sum(jax.nn.one_hot(votes, k_cls, dtype=jnp.int32), axis=1)
+    pred = jnp.argmax(counts, axis=-1)               # (G,)
+
+    # mean prob over the agreeing repeats (kinect2grasp.py:489)
+    agree = (votes == pred[:, None]).astype(probs.dtype)  # (G, R)
+    denom = jnp.maximum(jnp.sum(agree, axis=1), 1.0)
+    prob = jnp.einsum("gr,grk->gk", agree, probs) / denom[:, None]
+
+    pred = jnp.where(valid, pred, 0)
+    prob = jnp.where(valid[:, None], prob, 0.0)
+    return pred, prob, votes
+
+
+@dataclass
+class GraspScorer:
+    """Stateful wrapper: loaded model + padding policy for stable jit shapes.
+
+    Candidate counts vary per frame; we pad the candidate axis up to a
+    multiple of ``pad_to`` so XLA compiles one program per bucket instead of
+    one per frame.
+    """
+
+    params: Any
+    state: Any
+    k: int = 3
+    dual: bool = False
+    num_points: int = 500
+    repeat: int = 1
+    pad_to: int = 64
+    min_points: int = 50  # minimal_points_send_to_point_net analogue
+    _best_class: int = field(init=False)
+
+    def __post_init__(self):
+        # 3-class: best is class 2; 2-class: best is class 1
+        # (kinect2grasp.py:485-488)
+        self._best_class = self.k - 1
+
+    @classmethod
+    def from_torch_checkpoint(cls, path, ref_paths=(), **kw):
+        from ..models.convert import load_torch_checkpoint
+
+        params, state = load_torch_checkpoint(path, ref_paths)
+        k = params["fc3"]["w"].shape[0]
+        return cls(params=params, state=state, k=k, **kw)
+
+    # ------------------------------------------------------------------
+    def score_clouds(self, clouds, valid=None, seed: int = 0):
+        """clouds: (G, P, 3) cropped candidate clouds (gripper frame)."""
+        g = clouds.shape[0]
+        g_pad = max(_round_up(g, self.pad_to), self.pad_to)
+        if valid is None:
+            valid = np.ones((g,), dtype=bool)
+        clouds_p = np.zeros((g_pad,) + tuple(clouds.shape[1:]), dtype=np.float32)
+        clouds_p[:g] = np.asarray(clouds, dtype=np.float32)
+        valid_p = np.zeros((g_pad,), dtype=bool)
+        valid_p[:g] = np.asarray(valid)
+
+        pred, prob, votes = score_cloud_batch(
+            self.params, self.state, jnp.asarray(clouds_p), jnp.asarray(valid_p),
+            jax.random.PRNGKey(seed), dual=self.dual,
+            num_points=self.num_points, repeat=self.repeat,
+        )
+        return np.asarray(pred)[:g], np.asarray(prob)[:g], np.asarray(votes)[:g]
+
+    # ------------------------------------------------------------------
+    def score_candidates(self, pc, candidates, hand_depth, width, seed: int = 0):
+        """End-to-end: raw scene cloud + GPG candidates -> ranked good grasps.
+
+        Args:
+          pc: (P, 3) scene cloud (table frame).
+          candidates: list/array of (5, 3) rows [bottom_center, approach,
+              binormal, minor_pc, bottom_center_modified] — the sampler output
+              format (grasp_sampler.py:1616-1618).
+          hand_depth, width: gripper closing-region geometry.
+
+        Returns dict with pred/prob/score per candidate plus the ranked
+        order of "good" candidates (kinect2grasp.py:500-514 semantics).
+        """
+        cand = np.asarray(candidates, dtype=np.float32).reshape(-1, 5, 3)
+        g = cand.shape[0]
+        g_pad = max(_round_up(g, self.pad_to), self.pad_to)
+        cand_p = np.zeros((g_pad, 5, 3), dtype=np.float32)
+        cand_p[:g] = cand
+        # pad with unit frames to keep normalize() well-defined
+        cand_p[g:, 1] = [1, 0, 0]
+        cand_p[g:, 2] = [0, 1, 0]
+        cand_p[g:, 3] = [0, 0, 1]
+
+        key = jax.random.PRNGKey(seed)
+        k_crop, k_score = jax.random.split(key)
+        clouds, counts, valid = collect_candidate_clouds(
+            jnp.asarray(cand_p[:, 0]), jnp.asarray(cand_p[:, 1]),
+            jnp.asarray(cand_p[:, 2]), jnp.asarray(cand_p[:, 3]),
+            jnp.asarray(pc, dtype=jnp.float32),
+            jnp.float32(hand_depth), jnp.float32(width), k_crop,
+            num_out=self.num_points, min_point_limit=self.min_points,
+        )
+        pred, prob, _ = score_cloud_batch(
+            self.params, self.state, clouds, valid, k_score,
+            dual=self.dual, num_points=self.num_points, repeat=self.repeat,
+        )
+        pred = np.asarray(pred)[:g]
+        prob = np.asarray(prob)[:g]
+        counts = np.asarray(counts)[:g]
+        valid = np.asarray(valid)[:g]
+
+        score_value = prob[:, self._best_class]
+        good = np.where((pred == self._best_class) & valid)[0]
+        order = good[np.argsort(-score_value[good])]
+        return {
+            "pred": pred,
+            "prob": prob,
+            "score": score_value,
+            "counts": counts,
+            "valid": valid,
+            "good_indices": order,
+        }

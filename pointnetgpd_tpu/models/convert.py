@@ -1,0 +1,89 @@
+"""Convert reference PyTorch checkpoints to pointnetgpd_tpu param/state pytrees.
+
+The reference saves *whole pickled modules* (``torch.save(model)`` at
+reference PointNetGPD/main_1v.py:178) and reloads them with the class
+definitions on sys.path (main_test.py:42). Here we convert either a pickled
+module or a plain ``state_dict`` into our nested param/state dicts, whose
+nesting deliberately mirrors the torch module tree (see models/pointnet.py).
+
+Mapping rules:
+- ``*.weight`` on Conv1d (O, I, 1)  -> ``w`` (O, I)           [squeeze kernel dim]
+- ``*.weight`` on Conv2d (O, I, H, W) -> ``w`` (H, W, I, O)   [OIHW -> HWIO]
+- ``*.weight`` on Linear (O, I)     -> ``w`` unchanged
+- ``*.bias``                        -> ``b``
+- BatchNorm ``weight``/``bias``     -> params ``scale``/``bias``
+- BatchNorm ``running_mean``/``running_var`` -> state ``mean``/``var``
+- ``num_batches_tracked``           -> dropped
+
+No torch import is needed at module load; torch is only required inside
+``load_torch_checkpoint``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+_BN_PARAM_KEYS = {"weight": "scale", "bias": "bias"}
+_BN_STATE_KEYS = {"running_mean": "mean", "running_var": "var"}
+
+
+def _set(tree: dict, path: list, leaf_name: str, value):
+    node = tree
+    for part in path:
+        node = node.setdefault(part, {})
+    node[leaf_name] = value
+
+
+def convert_state_dict(state_dict):
+    """torch ``state_dict`` (str -> tensor/ndarray) -> ``(params, state)`` pytrees."""
+    params: dict = {}
+    state: dict = {}
+    for key, value in state_dict.items():
+        arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+        *path, leaf = key.split(".")
+        if leaf == "num_batches_tracked":
+            continue
+        is_bn = path and path[-1].startswith("bn")
+        if is_bn and leaf in _BN_STATE_KEYS:
+            _set(state, path, _BN_STATE_KEYS[leaf], jnp.asarray(arr))
+        elif is_bn and leaf in _BN_PARAM_KEYS:
+            _set(params, path, _BN_PARAM_KEYS[leaf], jnp.asarray(arr))
+        elif leaf == "weight":
+            if arr.ndim == 3:       # Conv1d (O, I, 1) -> (O, I)
+                arr = arr[:, :, 0]
+            elif arr.ndim == 4:     # Conv2d OIHW -> HWIO
+                arr = arr.transpose(2, 3, 1, 0)
+            _set(params, path, "w", jnp.asarray(arr))
+        elif leaf == "bias":
+            _set(params, path, "b", jnp.asarray(arr))
+        else:
+            raise ValueError(f"unrecognized state_dict key: {key}")
+    return params, state
+
+
+def load_torch_checkpoint(path, ref_paths=()):
+    """Load a reference checkpoint file and convert it.
+
+    Handles both pickled whole modules (the reference's format) and plain
+    state_dicts. ``ref_paths`` are inserted into ``sys.path`` so that pickled
+    module classes (e.g. ``model.pointnet.PointNetCls``) can be resolved when
+    the original repo is available on disk.
+    """
+    import sys
+
+    import torch
+
+    for p in ref_paths:
+        if p not in sys.path:
+            sys.path.insert(0, str(p))
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        if obj.__class__.__name__ == "DataParallel":
+            obj = obj.module
+        sd = obj.state_dict()
+    elif isinstance(obj, dict):
+        sd = obj
+    else:
+        raise TypeError(f"unsupported checkpoint object: {type(obj)}")
+    return convert_state_dict(sd)

@@ -1,0 +1,217 @@
+"""Closing-region crop: the per-candidate preprocessing, as batched device code.
+
+The reference does this per-sample on the host with numpy, twice:
+- training:  BaseGraspDataset.collect_pc (reference: PointNetGPD/model/dataset.py:15-76)
+  builds the gripper frame from the 10-dim grasp configuration, rotates the
+  cloud into it, and keeps points in a box x,z in +-width/4, y in +-width/2;
+- online:    check_collision_square / collect_pc (reference:
+  dex-net/apps/kinect2grasp.py:178-258) uses an explicit [approach, binormal,
+  minor] frame and a box x in (0, hand_depth), y in +-width/2, z in +-width/4.
+
+Here both are ONE vmapped fixed-shape kernel: G grasp frames x P cloud points
+-> (G, N, 3) cropped+resampled clouds, counts, and validity mask — a single
+device call for an entire scene's candidates instead of a host loop. Dynamic
+point counts are handled with masks; the <min_point_limit rejection becomes a
+``valid`` flag (the reference returns None, dataset.py:71-72).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def grasp_frame_from_config(grasp):
+    """10-dim grasp configuration -> (center, approach, binormal, minor_normal).
+
+    Mirrors the frame math in dataset.py:16-37: binormal = config[3:6]
+    (normalized), approach = first column of R2 @ R1 where R1 rotates by the
+    approach angle about the binormal and R2 aligns y with the binormal.
+    ``grasp`` may carry trailing score columns; only [0:8] are read.
+    """
+    center = grasp[0:3]
+    axis = grasp[3:6]
+    width = grasp[6]
+    angle = grasp[7]
+
+    axis = axis / jnp.linalg.norm(axis)
+    cos_t, sin_t = jnp.cos(angle), jnp.sin(angle)
+    # R1 columns: [cos,0,sin], [0,1,0], [-sin,0,cos]  (dataset.py:26)
+    r1 = jnp.stack(
+        [
+            jnp.stack([cos_t, jnp.zeros_like(cos_t), sin_t]),
+            jnp.array([0.0, 1.0, 0.0], dtype=grasp.dtype),
+            jnp.stack([-sin_t, jnp.zeros_like(cos_t), cos_t]),
+        ],
+        axis=1,  # columns
+    )
+    axis_y = axis
+    axis_x = jnp.stack([axis_y[1], -axis_y[0], jnp.zeros_like(axis_y[0])])
+    # degenerate when axis is +-z: fall back to x-hat (dataset.py:29-30)
+    degenerate = jnp.linalg.norm(axis_x) == 0
+    axis_x = jnp.where(degenerate, jnp.array([1.0, 0.0, 0.0], dtype=grasp.dtype), axis_x)
+    axis_x = axis_x / jnp.linalg.norm(axis_x)
+    axis_z = jnp.cross(axis_x, axis_y)
+    r2 = jnp.stack([axis_x, axis_y, axis_z], axis=1)  # columns
+    approach = (r2 @ r1)[:, 0]
+    approach = approach / jnp.linalg.norm(approach)
+    minor_normal = jnp.cross(axis, approach)
+    return center, approach, axis, minor_normal, width
+
+
+def apply_transform_to_frame(transform, center, approach, binormal, minor_normal):
+    """Apply a 4x4 homogeneous transform: point to center, rotation to axes.
+
+    (dataset.py:42-49 — the google-mesh -> rgbd-cloud frame transform.)
+    """
+    rot = transform[:3, :3]
+    center = rot @ center + transform[:3, 3]
+    return center, rot @ approach, rot @ binormal, rot @ minor_normal
+
+
+def _masked_resample(points_g, mask, num_out, key):
+    """Fixed-size resample of the masked subset of ``points_g``.
+
+    Matches the reference's semantics (dataset.py:263-268): sample
+    ``num_out`` of the in-region points without replacement when there are
+    more than ``num_out``, with replacement otherwise. RNG streams differ
+    from numpy (explicit key threading), statistics match.
+    """
+    p_total = points_g.shape[0]
+    count = jnp.sum(mask)
+    k1, k2 = jax.random.split(key)
+
+    # valid indices first, in random order: random keys per point, invalid
+    # points pushed to +inf, argsort -> first `count` entries are a uniform
+    # random permutation of the valid indices.
+    z = jax.random.uniform(k1, (p_total,))
+    z = jnp.where(mask, z, jnp.inf)
+    perm = jnp.argsort(z)
+
+    # without replacement: first num_out entries of the permutation. When the
+    # cloud itself is smaller than num_out this branch is dead (count <=
+    # p_total < num_out selects the with-replacement path); pad for shape.
+    if p_total >= num_out:
+        idx_wo = perm[:num_out]
+    else:
+        idx_wo = jnp.pad(perm, (0, num_out - p_total), mode="edge")
+    # with replacement: num_out uniform draws from [0, count)
+    r = jax.random.randint(k2, (num_out,), 0, jnp.maximum(count, 1))
+    idx_w = perm[r]
+
+    idx = jnp.where(count > num_out, idx_wo, idx_w)
+    return points_g[idx], count
+
+
+def crop_closing_region(
+    grasp_center,
+    rot_rows,
+    box_lo,
+    box_hi,
+    pc,
+    num_out: int,
+    key,
+):
+    """Core crop for one grasp: rotate ``pc`` into the grasp frame and keep
+    points strictly inside (box_lo, box_hi), resampled to ``num_out``.
+
+    rot_rows: (3, 3) with rows [approach, binormal, minor_normal]
+    (matrix = hstack([approach, binormal, minor]).T, dataset.py:50).
+    Returns (points (num_out, 3), count, in-frame cloud mask fn inputs).
+    """
+    pc_t = (pc - grasp_center) @ rot_rows.T  # == (rot_rows @ (pc-center)^T)^T
+    mask = jnp.all((pc_t > box_lo) & (pc_t < box_hi), axis=-1)
+    points, count = _masked_resample(pc_t, mask, num_out, key)
+    return points, count
+
+
+@functools.partial(jax.jit, static_argnames=("num_out", "min_point_limit"))
+def collect_grasp_clouds(
+    grasps,
+    pc,
+    transform,
+    key,
+    *,
+    num_out: int = 750,
+    min_point_limit: int = 50,
+):
+    """Batched training-path crop == vmapped dataset.py collect_pc.
+
+    Args:
+      grasps: (G, >=8) grasp configuration rows (10-dim + score columns ok).
+      pc: (P, 3) object point cloud (cloud frame).
+      transform: (4, 4) mesh->cloud frame transform (google2cloud).
+      key: PRNG key for the resampling.
+      num_out: points per cropped cloud (grasp_points_num).
+      min_point_limit: validity threshold (dataset.py:71-72; default 50).
+
+    Returns:
+      points: (G, num_out, 3) in the gripper frame (channels-last, feeds the
+              model directly).
+      counts: (G,) number of in-region points before resampling.
+      valid:  (G,) bool, counts >= min_point_limit.
+    """
+    g = grasps.shape[0]
+    keys = jax.random.split(key, g)
+
+    def one(grasp, k):
+        center, approach, binormal, minor, width = grasp_frame_from_config(grasp)
+        center, approach, binormal, minor = apply_transform_to_frame(
+            transform, center, approach, binormal, minor
+        )
+        rot_rows = jnp.stack([approach, binormal, minor])
+        box = jnp.stack([width / 4.0, width / 2.0, width / 4.0])
+        pts, count = crop_closing_region(center, rot_rows, -box, box, pc, num_out, k)
+        return pts, count
+
+    points, counts = jax.vmap(one)(grasps, keys)
+    valid = counts >= min_point_limit
+    # zero out invalid entries so downstream batched scoring is well-defined
+    points = jnp.where(valid[:, None, None], points, 0.0)
+    return points, counts, valid
+
+
+@functools.partial(jax.jit, static_argnames=("num_out", "min_point_limit"))
+def collect_candidate_clouds(
+    bottom_centers,
+    approaches,
+    binormals,
+    minor_normals,
+    pc,
+    hand_depth,
+    width,
+    key,
+    *,
+    num_out: int = 500,
+    min_point_limit: int = 10,
+):
+    """Batched online-path crop == vmapped kinect2grasp.py collect_pc
+    (use_dataset_py=True box, kinect2grasp.py:216-233).
+
+    Box: x in (0, hand_depth), y in +-width/2, z in +-width/4, where width is
+    the gripper opening (hand_outer_diameter - 2*finger_width).
+    Returns (points (G, num_out, 3), counts (G,), valid (G,)).
+    """
+    g = bottom_centers.shape[0]
+    keys = jax.random.split(key, g)
+
+    def normalize(v):
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    approaches = normalize(approaches)
+    binormals = normalize(binormals)
+    minor_normals = normalize(minor_normals)
+
+    box_lo = jnp.stack([jnp.zeros_like(width), -width / 2.0, -width / 4.0])
+    box_hi = jnp.stack([hand_depth * jnp.ones_like(width), width / 2.0, width / 4.0])
+
+    def one(center, a, b, m, k):
+        rot_rows = jnp.stack([a, b, m])
+        return crop_closing_region(center, rot_rows, box_lo, box_hi, pc, num_out, k)
+
+    points, counts = jax.vmap(one)(bottom_centers, approaches, binormals, minor_normals, keys)
+    valid = counts >= min_point_limit
+    points = jnp.where(valid[:, None, None], points, 0.0)
+    return points, counts, valid

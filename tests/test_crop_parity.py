@@ -1,0 +1,230 @@
+"""Parity of the batched closing-region crop kernel vs the reference's
+host-side numpy implementation (reference: PointNetGPD/model/dataset.py:15-76
+and dex-net/apps/kinect2grasp.py:178-235).
+
+The crop *membership set* must match exactly (same frame math, same strict
+box inequalities); the fixed-N resampling is compared statistically since RNG
+streams differ by design (explicit JAX key threading vs global numpy state).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pointnetgpd_tpu.ops.crop import (
+    apply_transform_to_frame,
+    collect_candidate_clouds,
+    collect_grasp_clouds,
+    grasp_frame_from_config,
+)
+
+from conftest import REFERENCE_ROOT, requires_reference
+
+
+# ---------------------------------------------------------------------------
+# Reference oracle: BaseGraspDataset.collect_pc without the package machinery
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_collect_pc():
+    """Load the reference collect_pc with open3d/env stubs (oracle only)."""
+    import importlib.util
+    import os
+    import pickle
+    import tempfile
+
+    # open3d is not installed; collect_pc never touches it (only the GPD
+    # projection path does), so a stub module suffices for import.
+    if "open3d" not in sys.modules:
+        sys.modules["open3d"] = types.ModuleType("open3d")
+
+    # BaseGraspDataset.__init__ reads $PointNetGPD_FOLDER/.../google2cloud.pkl;
+    # point it at a temp dir with an empty transform dict.
+    tmp = tempfile.mkdtemp()
+    os.makedirs(f"{tmp}/PointNetGPD/data", exist_ok=True)
+    with open(f"{tmp}/PointNetGPD/data/google2cloud.pkl", "wb") as f:
+        pickle.dump({}, f)
+    os.environ["PointNetGPD_FOLDER"] = tmp
+
+    path = f"{REFERENCE_ROOT}/PointNetGPD/model/dataset.py"
+    spec = importlib.util.spec_from_file_location("_ref_dataset", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    ds = mod.BaseGraspDataset()
+    ds.min_point_limit = 50
+    ds.projection = False
+    return ds.collect_pc
+
+
+def _random_grasp(rng):
+    center = rng.randn(3) * 0.02
+    axis = rng.randn(3)
+    axis /= np.linalg.norm(axis)
+    width = 0.08
+    angle = rng.uniform(-np.pi, np.pi)
+    jaw, minw = 0.08, 0.0
+    return np.concatenate([center, axis, [width, angle, jaw, minw, 0.0, 0.0]]).astype(
+        np.float64
+    )
+
+
+def _ref_membership(grasp, pc, transform):
+    """Recompute the reference's in-region membership mask only (frame math
+    identical to dataset.py:16-69) to compare sets, not sample order."""
+    center, axis = grasp[0:3], grasp[3:6] / np.linalg.norm(grasp[3:6])
+    width, angle = grasp[6], grasp[7]
+    cos_t, sin_t = np.cos(angle), np.sin(angle)
+    R1 = np.c_[[cos_t, 0, sin_t], [0, 1, 0], [-sin_t, 0, cos_t]]
+    axis_y = axis
+    axis_x = np.array([axis_y[1], -axis_y[0], 0])
+    if np.linalg.norm(axis_x) == 0:
+        axis_x = np.array([1, 0, 0])
+    axis_x = axis_x / np.linalg.norm(axis_x)
+    axis_z = np.cross(axis_x, axis_y)
+    R2 = np.c_[axis_x, np.c_[axis_y, axis_z]]
+    approach = R2.dot(R1)[:, 0]
+    approach /= np.linalg.norm(approach)
+    minor = np.cross(axis, approach)
+    center_t = transform[:3, :3] @ center + transform[:3, 3]
+    rot = np.stack(
+        [transform[:3, :3] @ approach, transform[:3, :3] @ axis, transform[:3, :3] @ minor]
+    )
+    pc_t = (pc - center_t) @ rot.T
+    lim = np.array([width / 4, width / 2, width / 4])
+    return np.all((pc_t > -lim) & (pc_t < lim), axis=1), pc_t
+
+
+@requires_reference
+def test_frame_math_matches_reference(ref_collect_pc, rng):
+    """The gripper-frame transform of the cloud must match collect_pc's
+    internal pc_t bit-for-bit (same in-region point coordinates)."""
+    transform = np.eye(4)
+    transform[:3, 3] = [0.01, -0.02, 0.005]
+    # small random rotation
+    theta = 0.3
+    transform[:3, :3] = np.array(
+        [[np.cos(theta), -np.sin(theta), 0], [np.sin(theta), np.cos(theta), 0], [0, 0, 1]]
+    )
+
+    for trial in range(10):
+        grasp = _random_grasp(rng)
+        pc = (rng.randn(2000, 3) * 0.04 + grasp[0:3]).astype(np.float64)
+
+        ref_out = ref_collect_pc(grasp, pc, transform)
+        ref_mask, ref_pc_t = _ref_membership(grasp, pc, transform)
+
+        # our frame math
+        center, approach, binormal, minor, width = jax.tree_util.tree_map(
+            np.asarray,
+            grasp_frame_from_config(jnp.asarray(grasp)),
+        )
+        center, approach, binormal, minor = jax.tree_util.tree_map(
+            np.asarray,
+            apply_transform_to_frame(
+                jnp.asarray(transform), jnp.asarray(center), jnp.asarray(approach),
+                jnp.asarray(binormal), jnp.asarray(minor),
+            ),
+        )
+        rot = np.stack([approach, binormal, minor])
+        pc_t = (pc - center) @ rot.T
+        np.testing.assert_allclose(pc_t, ref_pc_t, rtol=0, atol=1e-6)  # XLA CPU sin is fp32-accurate
+
+        lim = np.array([width / 4, width / 2, width / 4])
+        mask = np.all((pc_t > -lim) & (pc_t < lim), axis=1)
+        np.testing.assert_array_equal(mask, ref_mask)
+
+        # cross-check against the actual reference function's output set
+        # (lexicographic sort; last-bit matmul association diffs ~1e-10)
+        if ref_out is not None:
+            ref_sorted = ref_out[np.lexsort(ref_out.T)]
+            ours_sorted = pc_t[mask][np.lexsort(pc_t[mask].T)]
+            assert ref_sorted.shape == ours_sorted.shape
+            np.testing.assert_allclose(ours_sorted, ref_sorted, rtol=0, atol=1e-6)
+
+
+@requires_reference
+def test_batched_crop_counts_and_membership(ref_collect_pc, rng):
+    """collect_grasp_clouds counts == reference in-region counts; resampled
+    points are all members of the reference crop set."""
+    transform = np.eye(4)
+    grasps = np.stack([_random_grasp(rng) for _ in range(16)])
+    pc = (rng.randn(3000, 3) * 0.05).astype(np.float64)
+
+    points, counts, valid = collect_grasp_clouds(
+        jnp.asarray(grasps), jnp.asarray(pc), jnp.asarray(transform),
+        jax.random.PRNGKey(0), num_out=128, min_point_limit=50,
+    )
+    points, counts, valid = map(np.asarray, (points, counts, valid))
+
+    for i in range(len(grasps)):
+        ref_out = ref_collect_pc(grasps[i], pc, transform)
+        ref_mask, ref_pc_t = _ref_membership(grasps[i], pc, transform)
+        assert counts[i] == ref_mask.sum()
+        assert valid[i] == (ref_out is not None)
+        if valid[i]:
+            members = ref_pc_t[ref_mask]  # (C, 3)
+            d = np.linalg.norm(points[i][:, None, :] - members[None, :, :], axis=-1)
+            assert d.min(axis=1).max() < 1e-6  # every sampled point is a member
+
+
+def test_resample_without_replacement_is_distinct():
+    """count > num_out must produce num_out *distinct* in-region points."""
+    pc = np.random.RandomState(1).randn(4000, 3).astype(np.float32) * 0.01
+    grasp = np.zeros(12, dtype=np.float32)
+    grasp[3:6] = [0, 1, 0]
+    grasp[6] = 0.15  # wide box catches many points
+    points, counts, valid = collect_grasp_clouds(
+        jnp.asarray(grasp)[None], jnp.asarray(pc), jnp.eye(4),
+        jax.random.PRNGKey(3), num_out=64, min_point_limit=50,
+    )
+    assert bool(valid[0]) and int(counts[0]) > 64
+    uniq = np.unique(np.asarray(points[0]), axis=0)
+    assert len(uniq) == 64
+
+
+def test_resample_with_replacement_covers_small_sets():
+    """count < num_out resamples with replacement from the in-region set."""
+    rs = np.random.RandomState(2)
+    pc = np.concatenate(
+        [rs.randn(60, 3) * 0.001, rs.randn(1000, 3) * 1.0 + 5.0]  # 60 near, rest far
+    ).astype(np.float32)
+    grasp = np.zeros(12, dtype=np.float32)
+    grasp[3:6] = [0, 1, 0]
+    grasp[6] = 0.4
+    points, counts, valid = collect_grasp_clouds(
+        jnp.asarray(grasp)[None], jnp.asarray(pc), jnp.eye(4),
+        jax.random.PRNGKey(4), num_out=128, min_point_limit=50,
+    )
+    assert bool(valid[0])
+    c = int(counts[0])
+    assert 50 <= c < 128
+    uniq = np.unique(np.asarray(points[0]), axis=0)
+    assert len(uniq) <= c  # drawn only from the in-region set
+
+
+def test_online_crop_box_semantics():
+    """Online box: x in (0, hand_depth) — bottom-center anchored, one-sided."""
+    pc = np.array(
+        [[0.01, 0.0, 0.0], [-0.01, 0.0, 0.0], [0.05, 0.0, 0.0], [0.09, 0.0, 0.0]],
+        dtype=np.float32,
+    )
+    points, counts, valid = collect_candidate_clouds(
+        jnp.zeros((1, 3)),                      # bottom center at origin
+        jnp.asarray([[1.0, 0.0, 0.0]]),          # approach = +x
+        jnp.asarray([[0.0, 1.0, 0.0]]),          # binormal = +y
+        jnp.asarray([[0.0, 0.0, 1.0]]),          # minor = +z
+        jnp.asarray(pc),
+        jnp.float32(0.06),                       # hand_depth
+        jnp.float32(0.08),                       # width
+        jax.random.PRNGKey(0),
+        num_out=8,
+        min_point_limit=1,
+    )
+    # x=0.01 and x=0.05 are inside; x=-0.01 (behind) and x=0.09 (too deep) not
+    assert int(counts[0]) == 2
+    assert bool(valid[0])
