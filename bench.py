@@ -1,0 +1,151 @@
+"""Benchmark: grasp candidates scored/sec (750-pt clouds) on TPU vs the
+reference PyTorch path, plus train samples/sec/chip.
+
+The baseline is the reference's actual deployment pattern: per-candidate
+batch-size-1 torch CPU calls through PointNetCls with host numpy cropping
+(reference: dex-net/apps/kinect2grasp.py:454-497, main_test.py:59-69). The
+reference publishes no numbers (BASELINE.md), so the baseline is measured
+here, on this machine, with the reference's own model code when available
+(else a skipped vs_baseline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+NUM_POINTS = 750
+N_CANDIDATES = 512
+SCENE_POINTS = 20000
+REF_ROOT = "/root/reference/PointNetGPD"
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from pointnetgpd_tpu.inference.scorer import GraspScorer
+    from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+
+    params, state = init_pointnet_cls(jax.random.PRNGKey(0), input_chann=3, k=3)
+    scorer = GraspScorer(params=params, state=state, k=3,
+                         num_points=NUM_POINTS, repeat=1,
+                         pad_to=N_CANDIDATES, min_points=10)
+
+    rs = np.random.RandomState(0)
+    pc = (rs.rand(SCENE_POINTS, 3) * [0.08, 0.06, 0.05]).astype(np.float32)
+    centers = (rs.rand(N_CANDIDATES, 3) * [0.08, 0.06, 0.05]).astype(np.float32)
+    centers[:, 0] -= 0.03
+    cands = np.zeros((N_CANDIDATES, 5, 3), np.float32)
+    cands[:, 0] = centers
+    cands[:, 1] = [1, 0, 0]
+    cands[:, 2] = [0, 1, 0]
+    cands[:, 3] = [0, 0, 1]
+
+    # end-to-end: crop + resample + forward + vote on device
+    scorer.score_candidates(pc, cands, hand_depth=0.06, width=0.08, seed=0)  # compile
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = scorer.score_candidates(pc, cands, hand_depth=0.06, width=0.08, seed=i)
+    dt = (time.perf_counter() - t0) / n_iters
+    cand_per_sec = N_CANDIDATES / dt
+
+    # train samples/sec/chip (fused crop+fwd+bwd+Adam, batch 128)
+    from pointnetgpd_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
+    from pointnetgpd_tpu.training.data import SyntheticGraspData
+    from pointnetgpd_tpu.training.train import (
+        init_train_state, make_fused_train_step, make_optimizer,
+    )
+
+    mesh = make_mesh()
+    n_chips = len(mesh.devices.flatten())
+    tx = make_optimizer(0.005)
+    p2, bn2 = init_pointnet_cls(jax.random.PRNGKey(1), input_chann=3, k=2)
+    tstate = replicate_tree(init_train_state(p2, bn2, tx), mesh)
+    step_fn = make_fused_train_step(tx, num_points=NUM_POINTS, min_point_limit=50)
+    batch = 128 * n_chips
+    data = SyntheticGraspData(batch_size=batch, cloud_points=SCENE_POINTS)
+    grasps, clouds, transforms, labels, weights = data.next_batch()
+    sharding = batch_sharding(mesh)
+    args = [jax.device_put(a, sharding)
+            for a in (grasps, clouds, transforms, labels, weights)]
+    key = jax.random.PRNGKey(0)
+    tstate, m = step_fn(tstate, *args, key)  # compile
+    jax.block_until_ready(m["loss"])
+    n_train_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_train_iters):
+        key, sub = jax.random.split(key)
+        tstate, m = step_fn(tstate, *args, sub)
+    jax.block_until_ready(m["loss"])
+    dt_train = (time.perf_counter() - t0) / n_train_iters
+    train_sps_chip = batch / dt_train / n_chips
+
+    return cand_per_sec, train_sps_chip, dt * 1e3
+
+
+def bench_reference_torch():
+    """Reference path: host numpy crop + per-candidate batch-1 torch calls."""
+    if not os.path.isdir(REF_ROOT):
+        return None
+    sys.path.insert(0, REF_ROOT)
+    import torch
+
+    from model.pointnet import PointNetCls  # reference definition (oracle)
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    model = PointNetCls(num_points=NUM_POINTS, input_chann=3, k=3)
+    model.eval()
+
+    rs = np.random.RandomState(0)
+    pc = (rs.rand(SCENE_POINTS, 3) * [0.08, 0.06, 0.05]).astype(np.float32)
+    centers = (rs.rand(N_CANDIDATES, 3) * [0.08, 0.06, 0.05]).astype(np.float32)
+    centers[:, 0] -= 0.03
+
+    n_measured = 48  # candidates actually timed (batch-1 calls are slow)
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        for i in range(n_measured):
+            # crop (kinect2grasp.py:178-235 semantics)
+            rot = np.eye(3, dtype=np.float32)
+            pc_t = (pc - centers[i]) @ rot.T
+            w = 0.08
+            mask = ((pc_t[:, 0] > 0) & (pc_t[:, 0] < 0.06)
+                    & (np.abs(pc_t[:, 1]) < w / 2) & (np.abs(pc_t[:, 2]) < w / 4))
+            crop = pc_t[mask]
+            if len(crop) < 10:
+                continue
+            idx = np.random.choice(len(crop), NUM_POINTS, replace=len(crop) < NUM_POINTS)
+            local = crop[idx]
+            # batch-1 scoring (main_test.py:59-69)
+            x = torch.from_numpy(local.T[None])
+            logp, _ = model(x)
+            logp.softmax(1).numpy()
+    dt = (time.perf_counter() - t0) / n_measured
+    return 1.0 / dt
+
+
+def main():
+    cand_per_sec, train_sps_chip, ms_per_scene = bench_tpu()
+    baseline = bench_reference_torch()
+    result = {
+        "metric": "grasp_candidates_scored_per_sec_750pt",
+        "value": round(cand_per_sec, 1),
+        "unit": "candidates/s",
+        "vs_baseline": round(cand_per_sec / baseline, 2) if baseline else None,
+        "extras": {
+            "scene_latency_ms_512_candidates": round(ms_per_scene, 2),
+            "train_samples_per_sec_per_chip_750pt_b128": round(train_sps_chip, 1),
+            "reference_torch_cpu_candidates_per_sec": round(baseline, 1) if baseline else None,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Signed-distance-field grid: the geometry core, as pure JAX.
+
+Re-design of the reference Sdf3D (reference: meshpy/meshpy/sdf.py:205-766) as
+an immutable pytree + batched pure functions: every lookup is vmappable, so
+the samplers' per-point host loops (line-of-action stepping, normal
+estimation) become single device calls over thousands of query points.
+
+Semantics mirrored from the reference:
+- trilinear interpolation with zero contribution from out-of-grid corners
+  (sdf.py:318-339);
+- out-of-bounds queries fall back to distance-to-nearest-surface-point plus
+  the SDF value there (sdf.py:299-306; the reference subsamples 1000 cached
+  surface points "for speed", sdf.py:263 — we use all of them, exact);
+- surface threshold ``resolution * sqrt(2) / 2`` (sdf.py:223);
+- surface normal by SVD plane fit over the <=26-neighborhood sphere-projected
+  surface samples, oriented outward by an SDF probe (sdf.py:466-546);
+- grid <-> world: world = origin + resolution * grid (sdf.py:243-249).
+
+Deviation (documented): the reference's gradient interpolation has an
+indexing bug (sdf.py:402 writes ``min_coords[0]`` into the max-x corner rows,
+so the x-upper corners never contribute); we interpolate gradients correctly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SdfGrid(NamedTuple):
+    """Immutable SDF pytree. Build with ``make_sdf`` (host) -> use on device."""
+
+    data: jnp.ndarray          # (nx, ny, nz) signed distances (world units)
+    origin: jnp.ndarray        # (3,) world position of grid index (0,0,0)
+    resolution: jnp.ndarray    # () world units per cell
+    gradients: jnp.ndarray     # (3, nx, ny, nz) central differences (np.gradient)
+    surface_points: jnp.ndarray  # (S, 3) float grid coords of surface cells
+    surface_vals: jnp.ndarray    # (S,) sdf values at those cells
+
+    @property
+    def dims(self):
+        return self.data.shape
+
+    @property
+    def surface_thresh(self):
+        return self.resolution * np.sqrt(2) / 2.0
+
+
+def make_sdf(data, origin, resolution) -> SdfGrid:
+    """Host-side constructor: precompute gradients + surface points."""
+    data = np.asarray(data, dtype=np.float32)
+    thresh = float(resolution) * np.sqrt(2) / 2.0
+    sx, sy, sz = np.where(np.abs(data) < thresh)
+    surface = np.stack([sx, sy, sz], axis=1).astype(np.float32)
+    vals = data[sx, sy, sz]
+    grads = np.stack(np.gradient(data), axis=0).astype(np.float32)
+    return SdfGrid(
+        data=jnp.asarray(data),
+        origin=jnp.asarray(np.asarray(origin, np.float32)),
+        resolution=jnp.asarray(np.float32(resolution)),
+        gradients=jnp.asarray(grads),
+        surface_points=jnp.asarray(surface),
+        surface_vals=jnp.asarray(vals),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coordinate transforms (sdf.py:236-253, 662-704)
+# ---------------------------------------------------------------------------
+
+def grid_to_world(sdf: SdfGrid, coords):
+    return sdf.origin + sdf.resolution * coords
+
+
+def world_to_grid(sdf: SdfGrid, points):
+    return (points - sdf.origin) / sdf.resolution
+
+
+def grid_to_world_dir(sdf: SdfGrid, direction):
+    """Direction vectors only rotate (identity here) — unit-normalized."""
+    return direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Lookups
+# ---------------------------------------------------------------------------
+
+def is_out_of_bounds(sdf: SdfGrid, coords):
+    """coords: (..., 3) grid coords -> (...) bool (sdf.py:176-190)."""
+    dims = jnp.asarray(sdf.dims, dtype=coords.dtype)
+    return jnp.any((coords < 0) | (coords >= dims), axis=-1)
+
+
+def _trilinear(volume, coords, dims):
+    """Trilinear interp of (nx,ny,nz) volume at (..., 3) float coords; corner
+    samples outside the grid contribute zero (sdf.py:330-337)."""
+    c = jnp.clip(coords, 0.0, jnp.asarray(dims, coords.dtype) - 1.0)
+    lo = jnp.floor(c)
+    hi = lo + 1.0
+    frac = c - lo
+
+    out = jnp.zeros(coords.shape[:-1], volume.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner = jnp.stack(
+                    [lo[..., 0] + dx, lo[..., 1] + dy, lo[..., 2] + dz], axis=-1
+                )
+                inb = jnp.all(
+                    (corner >= 0) & (corner <= jnp.asarray(dims, coords.dtype) - 1),
+                    axis=-1,
+                )
+                ci = jnp.clip(corner, 0, jnp.asarray(dims, coords.dtype) - 1).astype(
+                    jnp.int32
+                )
+                v = volume[ci[..., 0], ci[..., 1], ci[..., 2]]
+                w = (
+                    jnp.where(dx, frac[..., 0], 1.0 - frac[..., 0])
+                    * jnp.where(dy, frac[..., 1], 1.0 - frac[..., 1])
+                    * jnp.where(dz, frac[..., 2], 1.0 - frac[..., 2])
+                )
+                out = out + jnp.where(inb, w, 0.0) * v
+    return out
+
+
+def signed_distance(sdf: SdfGrid, coords):
+    """Interpolated SDF at (..., 3) float grid coords, with the reference's
+    out-of-bounds fallback (sdf.py:277-339). Fully batched."""
+    inside_val = _trilinear(sdf.data, coords, sdf.dims)
+
+    # OOB fallback: ||nearest surface point - query||_world + sdf(surface pt)
+    flat = coords.reshape(-1, 3)
+    d2 = jnp.sum(
+        (flat[:, None, :] - sdf.surface_points[None, :, :]) ** 2, axis=-1
+    )
+    nearest = jnp.argmin(d2, axis=1)
+    dist_world = jnp.sqrt(jnp.take_along_axis(d2, nearest[:, None], axis=1))[:, 0]
+    oob_val = (dist_world * sdf.resolution + sdf.surface_vals[nearest]).reshape(
+        coords.shape[:-1]
+    )
+
+    oob = is_out_of_bounds(sdf, coords)
+    return jnp.where(oob, oob_val, inside_val)
+
+
+def signed_distance_fast(sdf: SdfGrid, coords):
+    """Clamped trilinear lookup without the OOB nearest-surface scan — for
+    hot loops that already keep queries inside the grid (finger stepping)."""
+    return _trilinear(sdf.data, coords, sdf.dims)
+
+
+def gradient(sdf: SdfGrid, coords):
+    """Interpolated SDF gradient at (..., 3) grid coords (sdf.py:362-426)."""
+    gx = _trilinear(sdf.gradients[0], coords, sdf.dims)
+    gy = _trilinear(sdf.gradients[1], coords, sdf.dims)
+    gz = _trilinear(sdf.gradients[2], coords, sdf.dims)
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def on_surface(sdf: SdfGrid, coords):
+    """(is_on_surface, sdf_value) (sdf.py:156-174)."""
+    v = signed_distance(sdf, coords)
+    return jnp.abs(v) < sdf.surface_thresh, v
+
+
+def curvature(sdf: SdfGrid, coords, delta: float = 0.001):
+    """Symmetrized finite-difference Hessian (sdf.py:428-464)."""
+    eye = jnp.eye(3, dtype=coords.dtype) * delta
+    ups = jax.vmap(lambda e: gradient(sdf, coords + e))(eye)
+    downs = jax.vmap(lambda e: gradient(sdf, coords - e))(eye)
+    curv = (ups - downs) / (4.0 * delta)  # rows: d/dx_i of grad
+    curv = jnp.moveaxis(curv, 0, -2)      # (..., 3, 3)
+    return curv + jnp.swapaxes(curv, -1, -2)
+
+
+# 26-neighborhood offsets projected onto the delta-sphere (sdf.py:509-529)
+def _sphere_offsets(delta: float) -> np.ndarray:
+    offs = []
+    for dx in (-delta, 0.0, delta):
+        for dy in (-delta, 0.0, delta):
+            for dz in (-delta, 0.0, delta):
+                d = np.array([dx, dy, dz])
+                if dx != 0 or dy != 0 or dz != 0:
+                    d = delta * d / np.linalg.norm(d)
+                offs.append(d)
+    return np.asarray(offs, dtype=np.float32)  # (27, 3) incl. center
+
+
+@functools.partial(jax.jit, static_argnames=("delta",))
+def surface_normal(sdf: SdfGrid, coords, delta: float = 1.5):
+    """Outward surface normal by masked SVD plane fit (sdf.py:466-546).
+
+    coords: (..., 3) grid coords. Returns (normal (..., 3), valid (...)).
+    Invalid (not on surface / degenerate plane) entries get normal = 0.
+    """
+    offsets = jnp.asarray(_sphere_offsets(delta))  # (27, 3)
+
+    def one(c):
+        center_val = signed_distance(sdf, c)
+        on_surf = jnp.abs(center_val) < sdf.surface_thresh
+
+        pts = c[None, :] + offsets                  # (27, 3)
+        vals = signed_distance(sdf, pts)            # (27,)
+        mask = jnp.abs(vals) < sdf.surface_thresh   # (27,)
+
+        n_valid = jnp.sum(mask)
+        mean = jnp.sum(jnp.where(mask[:, None], pts, 0.0), axis=0) / jnp.maximum(
+            n_valid, 1
+        )
+        centered = jnp.where(mask[:, None], pts - mean, 0.0)  # (27, 3)
+        # plane normal = least-significant right singular vector == eigvec of
+        # smallest eigenvalue of the 3x3 scatter matrix
+        scatter = centered.T @ centered
+        _, vecs = jnp.linalg.eigh(scatter)
+        n = vecs[:, 0]
+
+        # orient outward: sdf increases along the outward normal (sdf.py:544)
+        probe_up = signed_distance(sdf, c + n * 0.01)
+        n = jnp.where(probe_up < center_val, -n, n)
+        valid = on_surf & (n_valid >= 3)
+        return jnp.where(valid, n, 0.0), valid
+
+    flat = coords.reshape(-1, 3)
+    normals, valid = jax.vmap(one)(flat)
+    return (normals.reshape(coords.shape),
+            valid.reshape(coords.shape[:-1]))
+
+
+def rescale(sdf: SdfGrid, scale: float) -> SdfGrid:
+    """Rescale the SDF by a scale factor (sdf.py:575+): world distances and
+    resolution scale linearly."""
+    return make_sdf(np.asarray(sdf.data) * scale,
+                    np.asarray(sdf.origin) * scale,
+                    float(sdf.resolution) * scale)

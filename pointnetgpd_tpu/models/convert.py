@@ -40,7 +40,12 @@ def convert_state_dict(state_dict):
     params: dict = {}
     state: dict = {}
     for key, value in state_dict.items():
-        arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
+        # copy=True: torch's .numpy() returns a VIEW of the tensor storage and
+        # jnp.asarray is zero-copy on the CPU backend, so without the copy the
+        # converted pytree would alias live torch buffers (e.g. BN running
+        # stats mutated in-place by later torch forwards).
+        arr = np.array(value.detach().cpu().numpy() if hasattr(value, "detach") else value,
+                       copy=True)
         *path, leaf = key.split(".")
         if leaf == "num_batches_tracked":
             continue

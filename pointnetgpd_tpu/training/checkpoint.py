@@ -1,0 +1,57 @@
+"""Checkpointing: orbax save/restore of params + BN state + optimizer state.
+
+Improves on the reference, which pickles whole nn.Modules every epoch and
+never checkpoints optimizer state (reference: PointNetGPD/main_1v.py:60,176-179
+— Adam moments are silently reset on resume). Here the full TrainState
+(params, BN running stats, optimizer state, step) round-trips, and
+models/convert.py imports the reference's pickled checkpoints for parity.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from .train import TrainState
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None):
+    """Save a TrainState under ``ckpt_dir/step_{step}`` via orbax."""
+    import orbax.checkpoint as ocp
+
+    step = int(state.step) if step is None else int(step)
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, state._asdict(), force=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("step_"):
+            try:
+                steps.append(int(name.split("_", 1)[1]))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    return os.path.join(os.path.abspath(ckpt_dir), f"step_{max(steps)}")
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore into the structure of ``template`` (shapes/dtypes preserved)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), item=template._asdict())
+    return TrainState(**restored)
+
+
+def params_to_numpy(tree: Any):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)

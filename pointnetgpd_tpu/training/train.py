@@ -1,0 +1,169 @@
+"""Training: loss, optimizer schedule, and the pjit data-parallel train step.
+
+Reproduces the reference training semantics (reference: PointNetGPD/main_1v.py:59-110):
+NLL loss on the model's log_softmax outputs, Adam(lr), StepLR(step=30,
+gamma=0.5) — but as ONE jitted step over a `jax.sharding.Mesh`: the batch
+axis is sharded across chips ('dp'), parameters/optimizer state are
+replicated, and XLA inserts the psum gradient all-reduce from the sharding
+annotations (replacing nn.DataParallel, main_1v.py:162-165).
+
+BatchNorm under DP: batch statistics are computed over the GLOBAL batch
+(XLA emits the cross-chip reduction automatically because the activations
+are sharded and the mean/var reduce over the batch axis), so results match
+the reference's single-device semantics at any chip count.
+
+Reference quirks handled explicitly:
+- The reference re-creates the optimizer AND scheduler inside ``train()``
+  every epoch (main_1v.py:60-62), which resets Adam moments each epoch and
+  makes StepLR a no-op (the schedule never reaches step 30). We implement
+  the *documented intent* (persistent Adam, lr halved every 30 epochs) as
+  the default; ``reset_optimizer_each_epoch=True`` reproduces the quirk.
+- Invalid samples (crop < min_point_limit, or score in the skip band) are
+  dropped by the reference's collate (main_1v.py:48-50); here batches are
+  fixed-shape and a per-sample weight masks them out of loss and metrics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.pointnet import apply_pointnet_cls
+from ..ops.crop import collect_grasp_clouds
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    step: jnp.ndarray  # global step counter
+
+
+def step_lr(base_lr: float, step_size: int = 30, gamma: float = 0.5):
+    """StepLR(epoch) == base_lr * gamma**(epoch // step_size) (torch semantics).
+
+    Returned as an optax schedule over EPOCHS; pass the epoch index, not the
+    global step (the caller maps step -> epoch).
+    """
+
+    def schedule(epoch):
+        return base_lr * (gamma ** (epoch // step_size))
+
+    return schedule
+
+
+def make_optimizer(lr: float = 0.005, step_size: int = 30, gamma: float = 0.5,
+                   steps_per_epoch: int = 1):
+    """Adam with the reference's intended StepLR decay."""
+    sched = lambda step: lr * (gamma ** ((step // steps_per_epoch) // step_size))
+    return optax.adam(learning_rate=sched)
+
+
+def masked_nll_loss(log_probs, labels, weights):
+    """F.nll_loss over valid samples only (weights in {0,1})."""
+    per_sample = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+    denom = jnp.maximum(jnp.sum(weights), 1.0)
+    return jnp.sum(per_sample * weights) / denom
+
+
+def make_train_step(tx, *, dual: bool = False):
+    """Build the jitted train step: (state, clouds, labels, weights) -> ...
+
+    ``clouds``: (B, N, C) pre-cropped gripper-frame point clouds;
+    ``weights``: (B,) 1.0 for valid samples, 0.0 for masked ones.
+    Shard the batch arrays over the mesh 'dp' axis and replicate the state;
+    jit + XLA handle the psum gradient all-reduce.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, clouds, labels, weights):
+        def loss_fn(params):
+            (logp, trans), new_bn = apply_pointnet_cls(
+                params, state.bn_state, clouds, train=True, dual=dual
+            )
+            loss = masked_nll_loss(logp, labels, weights)
+            return loss, (new_bn, logp)
+
+        (loss, (new_bn, logp)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        pred = jnp.argmax(logp, axis=-1)
+        denom = jnp.maximum(jnp.sum(weights), 1.0)
+        acc = jnp.sum((pred == labels) * weights) / denom
+        metrics = {"loss": loss, "acc": acc, "valid_frac": jnp.mean(weights)}
+        return TrainState(new_params, new_bn, new_opt, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(*, dual: bool = False):
+    @jax.jit
+    def eval_step(params, bn_state, clouds, labels, weights):
+        (logp, _), _ = apply_pointnet_cls(params, bn_state, clouds, train=False, dual=dual)
+        loss = masked_nll_loss(logp, labels, weights)
+        pred = jnp.argmax(logp, axis=-1)
+        correct = jnp.sum((pred == labels) * weights)
+        return {"loss_sum": loss * jnp.maximum(jnp.sum(weights), 1.0),
+                "correct": correct, "count": jnp.sum(weights)}
+
+    return eval_step
+
+
+def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
+                          dual: bool = False):
+    """Train step with the closing-region crop fused INTO the device program.
+
+    Input is the raw per-sample data (grasp rows, per-sample view clouds,
+    transforms) instead of pre-cropped points; the crop + resample runs
+    on-device in the same jit as the forward/backward pass, replacing the
+    reference's 32-process host dataloader crop (main_1v.py:125,
+    dataset.py:15-76). label_weights masks samples the host already rejected
+    (skip-band scores); crop validity is ANDed in on device.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, grasps, clouds, transforms, labels,
+                   label_weights, key):
+        b = grasps.shape[0]
+        keys = jax.random.split(key, b)
+
+        def crop_one(grasp, pc, transform, k):
+            pts, counts, valid = collect_grasp_clouds(
+                grasp[None], pc, transform, k,
+                num_out=num_points, min_point_limit=min_point_limit,
+            )
+            return pts[0], valid[0]
+
+        cropped, crop_valid = jax.vmap(crop_one)(grasps, clouds, transforms, keys)
+        weights = label_weights * crop_valid.astype(label_weights.dtype)
+
+        def loss_fn(params):
+            (logp, _), new_bn = apply_pointnet_cls(
+                params, state.bn_state, cropped, train=True, dual=dual
+            )
+            return masked_nll_loss(logp, labels, weights), (new_bn, logp)
+
+        (loss, (new_bn, logp)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        pred = jnp.argmax(logp, axis=-1)
+        denom = jnp.maximum(jnp.sum(weights), 1.0)
+        acc = jnp.sum((pred == labels) * weights) / denom
+        metrics = {"loss": loss, "acc": acc, "valid_frac": jnp.mean(weights)}
+        return TrainState(new_params, new_bn, new_opt, state.step + 1), metrics
+
+    return train_step
+
+
+def init_train_state(params, bn_state, tx) -> TrainState:
+    return TrainState(params, bn_state, tx.init(params), jnp.zeros((), jnp.int32))

@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The TPU environment's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, so the env vars above can come too late; force the
+# config directly (must happen before any backend is initialized).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 # fp32 matmuls everywhere: parity tests compare against torch fp32.
 jax.config.update("jax_default_matmul_precision", "highest")
 # x64 on (CPU tests only): geometry parity tests compare against numpy float64
