@@ -153,6 +153,17 @@ def signed_distance_fast(sdf: SdfGrid, coords):
     return _trilinear(sdf.data, coords, sdf.dims)
 
 
+def signed_distance_oob_big(sdf: SdfGrid, coords):
+    """Trilinear lookup with out-of-bounds queries mapped to a large positive
+    value (== definitely not on the surface). Used by the contact-finding and
+    normal-estimation hot loops, where the reference's exact OOB fallback
+    (a nearest-surface-point scan) only ever serves to say "not a surface
+    point" anyway."""
+    val = _trilinear(sdf.data, coords, sdf.dims)
+    big = 1e3 * sdf.resolution * jnp.asarray(max(sdf.dims), val.dtype)
+    return jnp.where(is_out_of_bounds(sdf, coords), big, val)
+
+
 def gradient(sdf: SdfGrid, coords):
     """Interpolated SDF gradient at (..., 3) grid coords (sdf.py:362-426)."""
     gx = _trilinear(sdf.gradients[0], coords, sdf.dims)
@@ -200,11 +211,11 @@ def surface_normal(sdf: SdfGrid, coords, delta: float = 1.5):
     offsets = jnp.asarray(_sphere_offsets(delta))  # (27, 3)
 
     def one(c):
-        center_val = signed_distance(sdf, c)
+        center_val = signed_distance_oob_big(sdf, c[None, :])[0]
         on_surf = jnp.abs(center_val) < sdf.surface_thresh
 
         pts = c[None, :] + offsets                  # (27, 3)
-        vals = signed_distance(sdf, pts)            # (27,)
+        vals = signed_distance_oob_big(sdf, pts)    # (27,)
         mask = jnp.abs(vals) < sdf.surface_thresh   # (27,)
 
         n_valid = jnp.sum(mask)
@@ -219,7 +230,7 @@ def surface_normal(sdf: SdfGrid, coords, delta: float = 1.5):
         n = vecs[:, 0]
 
         # orient outward: sdf increases along the outward normal (sdf.py:544)
-        probe_up = signed_distance(sdf, c + n * 0.01)
+        probe_up = signed_distance_oob_big(sdf, (c + n * 0.01)[None, :])[0]
         n = jnp.where(probe_up < center_val, -n, n)
         valid = on_surf & (n_valid >= 3)
         return jnp.where(valid, n, 0.0), valid

@@ -1,0 +1,140 @@
+"""Parallel-jaw gripper model: parameters + hand geometry + box collision tests.
+
+Replaces the reference RobotGripper (reference:
+dex-net/src/dexnet/grasping/gripper.py:46-129 — params.json keys become
+attributes) and the sampler's hand geometry (grasp_sampler.py:287-321: the
+gripper approximated by 21 points spanning four axis-aligned panels in the
+grasp frame) plus the panel box tests (grasp_sampler.py:336-388,401-417).
+
+The TPU re-design reduces each panel test to a static axis-aligned box in the
+grasp frame, so "does the hand collide" for G grasps x P points is one
+batched einsum + compare instead of per-grasp host numpy.
+
+Default parameters = robotiq_85 (values from the reference asset
+dex-net/data/grippers/robotiq_85/params.json).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Gripper:
+    """Gripper parameters. Dataset-generation set (min_width..max_depth) and
+    pose/sampling set (finger_width..init_bite) per the reference README
+    (README.md:56-74)."""
+
+    name: str = "robotiq_85"
+    min_width: float = 0.0
+    force_limit: float = 235.0
+    max_width: float = 0.085
+    finger_radius: float = 0.01
+    max_depth: float = 0.03
+    finger_width: float = 0.0255
+    real_finger_width: float = 0.0255
+    hand_height: float = 0.030
+    hand_height_two_finger_side: float = 0.105
+    hand_outer_diameter: float = 0.218
+    hand_depth: float = 0.125
+    real_hand_depth: float = 0.120
+    init_bite: float = 0.01
+
+    @property
+    def open_width(self) -> float:
+        return self.hand_outer_diameter - 2.0 * self.finger_width
+
+    @classmethod
+    def from_json(cls, path: str, name: str = "custom") -> "Gripper":
+        import json
+
+        with open(path) as f:
+            params = json.load(f)
+        fields = {k: v for k, v in params.items() if k in cls.__dataclass_fields__}
+        return cls(name=name, **fields)
+
+
+def hand_points(gripper: Gripper) -> np.ndarray:
+    """The 21-point hand model in the local grasp frame (approach = +x,
+    binormal = +y, minor = +z, bottom center at origin) —
+    grasp_sampler.py:287-321 with identity frame."""
+    hh, fw, hd = gripper.hand_height, gripper.finger_width, gripper.hand_depth
+    open_w = gripper.open_width
+    x, y, z = np.eye(3)
+    p5_p6 = z * hh * 0.5
+    p7_p8 = -z * hh * 0.5
+    p5 = -y * open_w * 0.5 + p5_p6
+    p6 = y * open_w * 0.5 + p5_p6
+    p7 = y * open_w * 0.5 + p7_p8
+    p8 = -y * open_w * 0.5 + p7_p8
+    p1, p2, p3, p4 = (x * hd + p for p in (p5, p6, p7, p8))
+    p9, p10, p11, p12 = (-y * fw + p for p in (p1, p4, p5, p8))
+    p13, p14, p15, p16 = (y * fw + p for p in (p2, p3, p6, p7))
+    p17, p18, p19, p20 = (-x * hh + p for p in (p11, p15, p16, p12))
+    return np.stack([np.zeros(3), p1, p2, p3, p4, p5, p6, p7, p8, p9, p10,
+                     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20])
+
+
+# panel -> (s1, s2, s4, s8) indices (grasp_sampler.py:354-361)
+_PANEL_CORNERS = {
+    "p_open": (1, 2, 4, 8),
+    "p_left": (9, 1, 10, 12),
+    "p_right": (2, 13, 3, 7),
+    "p_bottom": (11, 15, 12, 20),
+}
+
+
+def panel_boxes(gripper: Gripper) -> dict:
+    """Each panel as a static (lo, hi) box in the local grasp frame.
+
+    From the reference conditions (grasp_sampler.py:364-369):
+    x in (s8.x, s4.x), y in (s1.y, s2.y), z in (s4.z, s1.z) — strict.
+    """
+    p = hand_points(gripper)
+    boxes = {}
+    for name, (i1, i2, i4, i8) in _PANEL_CORNERS.items():
+        s1, s2, s4, s8 = p[i1], p[i2], p[i4], p[i8]
+        lo = np.array([s8[0], s1[1], s4[2]])
+        hi = np.array([s4[0], s2[1], s1[2]])
+        boxes[name] = (lo, hi)
+    return boxes
+
+
+def panel_box_array(gripper: Gripper):
+    """(4, 2, 3) array of [open, bottom, left, right] boxes for device use."""
+    boxes = panel_boxes(gripper)
+    order = ["p_open", "p_bottom", "p_left", "p_right"]
+    return np.stack([np.stack(boxes[k]) for k in order])
+
+
+def points_in_frame(bottom_center, approach, binormal, minor, points):
+    """Transform (P, 3) world points into the grasp frame rows
+    [approach, binormal, minor] about bottom_center
+    (grasp_sampler.py:336-353). Vmappable over leading grasp dims."""
+    rot = jnp.stack([approach, binormal, minor])
+    return (points - bottom_center) @ rot.T
+
+
+def count_in_box(points_frame, lo, hi):
+    """Number of frame points strictly inside the (lo, hi) box."""
+    inside = jnp.all((points_frame > lo) & (points_frame < hi), axis=-1)
+    return jnp.sum(inside)
+
+
+def collision_and_open_counts(points_frame, boxes):
+    """Counts for [open, bottom, left, right] boxes in one shot.
+
+    points_frame: (P, 3); boxes: (4, 2, 3). Returns (4,) int counts —
+    the sampler keeps a pose when open > 0 and bottom == left == right == 0
+    (grasp_sampler.py:1539-1557) and calls it colliding when any of
+    bottom/left/right > 0 (check_collide, grasp_sampler.py:401-417).
+    """
+    inside = jnp.all(
+        (points_frame[None, :, :] > boxes[:, None, 0, :])
+        & (points_frame[None, :, :] < boxes[:, None, 1, :]),
+        axis=-1,
+    )  # (4, P)
+    return jnp.sum(inside, axis=1)

@@ -1,0 +1,396 @@
+"""Grasp candidate samplers, batched fixed-budget rejection sampling on device.
+
+Re-design of the reference sampler zoo (reference:
+dex-net/src/dexnet/grasping/grasp_sampler.py). The reference runs
+per-candidate host loops (20 worker processes on the robot,
+kinect2grasp.py:157-173; 50 processes for dataset generation); here every
+sampler evaluates a fixed budget of attempts as ONE batched device program
+and returns packed valid candidates — rejection sampling as vmap, retries as
+a host loop over fixed-shape device calls.
+
+Samplers:
+- ``antipodal_sample_grasps``  — the dataset-generation sampler
+  (AntipodalGraspSampler, grasp_sampler.py:621-803): random surface point,
+  friction-cone axis sample, close from both sides, force-closure keep.
+- ``uniform_sample_grasps``    — random surface point pairs
+  (UniformGraspSampler, grasp_sampler.py:459-522).
+- ``gaussian_sample_grasps``   — Gaussian-over-COM centers
+  (GaussianGraspSampler, grasp_sampler.py:525-618).
+- ``gpg_sample_candidates``    — GPG on a raw point cloud, the ONLINE path
+  (GpgGraspSamplerPcl, grasp_sampler.py:1383-1656).
+
+Reference quirk reproduced: approach angles are drawn from {-90..90 step 30}
+and then USED AS RADIANS throughout (grasp_sampler.py:757-761 assigns degree
+values to approach_angle_, which _get_rotation_matrix_y feeds to cos/sin) —
+the stored dataset depends on it, so we sample the same numeric values.
+
+Documented deviation: the reference's table-clearance back-off distance is
+``np.linalg.norm([min_finger_pos, p_table])`` — the Frobenius norm of the
+2x3 STACK of both points (grasp_sampler.py:1601), not their distance. We
+compute the intended point-to-point distance; it is strictly safer (backs
+off at least as far for points near the table).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import sdf as sdf_lib
+from . import quality
+from .gripper import Gripper, collision_and_open_counts, hand_points, panel_box_array
+from .grasp import close_fingers, grasp_from_contact_and_axis
+
+APPROACH_ANGLE_CANDIDATES = np.arange(-90, 120, 30).astype(np.float32)
+
+
+class SampledGrasps(NamedTuple):
+    configs: jnp.ndarray   # (N, 10) grasp configurations
+    contacts: jnp.ndarray  # (N, 2, 3) contact points
+    normals: jnp.ndarray   # (N, 2, 3) outward contact normals
+    valid: jnp.ndarray     # (N,) bool
+
+
+# ---------------------------------------------------------------------------
+# Antipodal sampler (dataset generation)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_attempts", "num_samples_loa", "random_approach_angle"))
+def antipodal_sample_grasps(
+    sdf: sdf_lib.SdfGrid,
+    key,
+    *,
+    max_width: float,
+    min_width: float = 0.0,
+    friction_coef: float = 2.0,
+    min_contact_dist: float = 0.0025,
+    num_attempts: int = 256,
+    num_samples_loa: int = 40,
+    random_approach_angle: bool = True,
+) -> SampledGrasps:
+    """One fixed-budget batch of antipodal rejection sampling
+    (grasp_sampler.py:689-803). Call repeatedly with fresh keys until enough
+    valid grasps accumulate (the reference's while-loop moves to the host).
+    """
+    surface_pts_world = sdf_lib.grid_to_world(sdf, sdf.surface_points)
+    n_surface = surface_pts_world.shape[0]
+
+    k_idx, k_perturb, k_cone, k_flip, k_angle = jax.random.split(key, 5)
+    idx = jax.random.randint(k_idx, (num_attempts,), 0, n_surface)
+    x1 = surface_pts_world[idx]
+    # perturb_point: x + (res/2) * (U[0,1)^3 - 0.5) (grasp_sampler.py:684-687)
+    x1 = x1 + (sdf.resolution / 2.0) * (
+        jax.random.uniform(k_perturb, (num_attempts, 3)) - 0.5)
+
+    def one(x1_i, k_cone_i, k_flip_i, k_angle_i):
+        # contact normal + tangents at x1 (contacts.py:95-185 with no
+        # in_direction: direction defaults to the inward normal)
+        g1 = sdf_lib.world_to_grid(sdf, x1_i)
+        n_out, n_valid = sdf_lib.surface_normal(sdf, g1[None, :])
+        n_out = n_out[0]
+        n_valid = n_valid[0]
+        d_in, t1, t2 = quality.tangents_from_direction(
+            jnp.where(n_valid, -n_out, jnp.array([0.0, 0, 1], x1_i.dtype)))
+
+        # sample axis from the friction cone (grasp_sampler.py:629-655):
+        # v = -(n_out + r cos(th) t1 + r sin(th) t2), th~U(0,2pi), r~U(0,mu)
+        k_t, k_r = jax.random.split(k_cone_i)
+        theta = 2.0 * jnp.pi * jax.random.uniform(k_t, ())
+        r = friction_coef * jax.random.uniform(k_r, ())
+        v = n_out + r * jnp.cos(theta) * t1 + r * jnp.sin(theta) * t2
+        v = -v / jnp.linalg.norm(v)
+        # random axis flip (grasp_sampler.py:746-748)
+        v = jnp.where(jax.random.uniform(k_flip_i, ()) > 0.5, -v, v)
+
+        config, contacts0, c_valid = grasp_from_contact_and_axis(
+            sdf, x1_i, v, max_width,
+            num_samples=num_samples_loa, min_width_world=min_width)
+
+        # approach angle: shuffled degree candidates used as radians; take
+        # the first that closes collision-free (grasp_sampler.py:757-768)
+        if random_approach_angle:
+            angles = jax.random.permutation(
+                k_angle_i, jnp.asarray(APPROACH_ANGLE_CANDIDATES))
+        else:
+            angles = jnp.zeros((1,), x1_i.dtype)
+        configs_a = jnp.tile(config, (angles.shape[0], 1))
+        configs_a = configs_a.at[:, 7].set(angles.astype(config.dtype))
+        contacts = close_fingers(
+            sdf, configs_a, num_samples=num_samples_loa,
+            check_approach=True, num_approach_samples=num_samples_loa)
+        ok = contacts.found
+        first = jnp.argmax(ok)
+        any_ok = jnp.any(ok)
+        config = configs_a[first]
+        pts = contacts.points[first]
+        nrm = contacts.normals[first]
+
+        wide_enough = jnp.linalg.norm(x1_i - pts[1]) >= min_contact_dist
+        fc = quality.force_closure(pts[0], nrm[0], pts[1], nrm[1],
+                                   friction_coef)
+        valid = n_valid & c_valid & any_ok & wide_enough & (fc == 1)
+        return config, pts, nrm, valid
+
+    cone_keys = jax.random.split(k_cone, num_attempts)
+    flip_keys = jax.random.split(k_flip, num_attempts)
+    angle_keys = jax.random.split(k_angle, num_attempts)
+    configs, pts, nrms, valid = jax.vmap(one)(x1, cone_keys, flip_keys,
+                                              angle_keys)
+    return SampledGrasps(configs, pts, nrms, valid)
+
+
+# ---------------------------------------------------------------------------
+# Uniform / Gaussian samplers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("num_attempts", "num_samples_loa"))
+def uniform_sample_grasps(sdf: sdf_lib.SdfGrid, key, *, max_width: float,
+                          min_width: float = 0.0, num_attempts: int = 256,
+                          num_samples_loa: int = 40) -> SampledGrasps:
+    """Random surface point pairs within the jaw range, random approach angle
+    (UniformGraspSampler, grasp_sampler.py:459-522)."""
+    surface = sdf_lib.grid_to_world(sdf, sdf.surface_points)
+    n = surface.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    i1 = jax.random.randint(k1, (num_attempts,), 0, n)
+    i2 = jax.random.randint(k2, (num_attempts,), 0, n)
+    p1, p2 = surface[i1], surface[i2]
+    width = jnp.linalg.norm(p2 - p1, axis=1)
+    in_range = (width > min_width) & (width < max_width) & (width > 0)
+
+    centers = 0.5 * (p1 + p2)
+    axes = (p2 - p1) / jnp.maximum(width[:, None], 1e-12)
+    angles = jax.random.choice(
+        k3, jnp.asarray(APPROACH_ANGLE_CANDIDATES), (num_attempts,))
+    configs = jnp.concatenate([
+        centers, axes,
+        jnp.full((num_attempts, 1), max_width, centers.dtype),
+        angles[:, None].astype(centers.dtype),
+        jnp.zeros((num_attempts, 2), centers.dtype),
+    ], axis=1)
+    contacts = close_fingers(sdf, configs, num_samples=num_samples_loa,
+                             check_approach=False)
+    return SampledGrasps(configs, contacts.points, contacts.normals,
+                         in_range & contacts.found)
+
+
+@functools.partial(jax.jit, static_argnames=("num_attempts", "num_samples_loa"))
+def gaussian_sample_grasps(sdf: sdf_lib.SdfGrid, key, *, max_width: float,
+                           center_of_mass, principal_dims,
+                           sigma_scale: float = 2.5,
+                           num_attempts: int = 256,
+                           num_samples_loa: int = 40) -> SampledGrasps:
+    """Centers ~ N(COM, (principal_dims / (2 sigma))^2), axes uniform on the
+    sphere (GaussianGraspSampler, grasp_sampler.py:525-618)."""
+    k1, k2 = jax.random.split(key)
+    sigma = jnp.asarray(principal_dims) / (2.0 * sigma_scale)
+    centers = jnp.asarray(center_of_mass) + sigma * jax.random.normal(
+        k1, (num_attempts, 3))
+    axes = jax.random.normal(k2, (num_attempts, 3))
+    axes = axes / jnp.linalg.norm(axes, axis=1, keepdims=True)
+    configs = jnp.concatenate([
+        centers, axes,
+        jnp.full((num_attempts, 1), max_width, centers.dtype),
+        jnp.zeros((num_attempts, 3), centers.dtype),
+    ], axis=1)
+    contacts = close_fingers(sdf, configs, num_samples=num_samples_loa,
+                             check_approach=False)
+    return SampledGrasps(configs, contacts.points, contacts.normals,
+                         contacts.found)
+
+
+# ---------------------------------------------------------------------------
+# GPG on a raw point cloud (the online path)
+# ---------------------------------------------------------------------------
+
+class GpgCandidates(NamedTuple):
+    """Packed GPG candidates: rows [bottom_center, approach, binormal(major),
+    minor, bottom_center_modified] (grasp_sampler.py:1616-1618)."""
+
+    frames: jnp.ndarray  # (N, 5, 3)
+    valid: jnp.ndarray   # (N,) bool
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "gripper", "num_seeds", "max_neighbors", "num_dy", "dtheta_deg",
+    "range_dtheta", "approach_steps", "min_open_points"))
+def gpg_sample_candidates(
+    points,
+    normals,
+    key,
+    gripper: Gripper,
+    *,
+    num_seeds: int = 32,
+    max_neighbors: int = 100,
+    num_dy: int = 10,
+    dtheta_deg: int = 10,
+    range_dtheta: int = 90,
+    approach_step: float = 0.005,
+    approach_steps: int = 25,
+    safety_dis_above_table: float = 0.01,
+    min_points_above_table: float = 0.010,
+    min_open_points: int = 10,
+) -> GpgCandidates:
+    """GPG candidate generation on a raw cloud, fully batched
+    (GpgGraspSamplerPcl.sample_grasps, grasp_sampler.py:1389-1656).
+
+    points: (P, 3) scene cloud (table frame, z up, table at z=0).
+    normals: (P, 3) outward (camera-consistent) surface normals.
+    Returns up to num_seeds * n_theta packed candidates with validity mask.
+    """
+    p_total = points.shape[0]
+    dtype = points.dtype
+    boxes = jnp.asarray(panel_box_array(gripper), dtype)
+    hand_pts_local = jnp.asarray(hand_points(gripper)[1:], dtype)  # (20, 3)
+
+    r_ball = max(gripper.hand_outer_diameter - gripper.finger_width,
+                 gripper.hand_depth, gripper.hand_height / 2.0)
+
+    # sample seeds from points above the table (kinect2grasp.py:145-147)
+    above = points[:, 2] > min_points_above_table
+    k_seed, _ = jax.random.split(key)
+    # masked choice: random keys, invalid pushed to +inf
+    z = jax.random.uniform(k_seed, (p_total,))
+    z = jnp.where(above, z, jnp.inf)
+    seed_idx = jnp.argsort(z)[:num_seeds]
+
+    thetas = jnp.arange(-range_dtheta, range_dtheta + 1, dtheta_deg,
+                        dtype=dtype) / 180.0 * jnp.pi
+    n_theta = thetas.shape[0]
+    dys = (jnp.arange(-num_dy, num_dy + 1, dtype=dtype)
+           * gripper.finger_width)
+    n_dy = dys.shape[0]
+
+    def axis_rotation(axis, angle):
+        """Rodrigues rotation about a unit axis."""
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        kx = jnp.array([[0.0, -axis[2], axis[1]],
+                        [axis[2], 0.0, -axis[0]],
+                        [-axis[1], axis[0], 0.0]], dtype)
+        return c * jnp.eye(3, dtype=dtype) + s * kx + (1 - c) * jnp.outer(axis, axis)
+
+    def counts_at(bc, approach, major, minor):
+        rot = jnp.stack([approach, major, minor])
+        pf = (points - bc) @ rot.T
+        return collision_and_open_counts(pf, boxes)  # [open, bottom, left, right]
+
+    def one_seed(si):
+        seed = points[si]
+        seed_normal = normals[si]
+
+        # r-ball normal covariance -> local frame (grasp_sampler.py:1467-1500)
+        d2 = jnp.sum((points - seed) ** 2, axis=1)
+        in_ball = (d2 <= r_ball * r_ball) & (d2 > 0)
+        # cap the neighbor count like the KD-tree's max_nn=100: keep the
+        # max_neighbors nearest by masking the rest
+        order = jnp.argsort(jnp.where(in_ball, d2, jnp.inf))
+        neighbor_mask = jnp.zeros((p_total,), bool).at[
+            order[:max_neighbors]].set(True) & in_ball
+        nn = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=1, keepdims=True), 1e-12)
+        m = jnp.einsum("p,pi,pj->ij", neighbor_mask.astype(dtype), nn, nn)
+        m_ok = jnp.sum(jnp.abs(m)) > 0
+
+        eigval, eigvec = jnp.linalg.eigh(m)
+        minor_pc = eigvec[:, 0] / jnp.linalg.norm(eigvec[:, 0])
+        new_normal = eigvec[:, 2] / jnp.linalg.norm(eigvec[:, 2])
+        major_pc = jnp.cross(minor_pc, new_normal)
+        major_pc = major_pc / jnp.maximum(jnp.linalg.norm(major_pc), 1e-12)
+        # orient with the camera-consistent normal (grasp_sampler.py:1502-1506)
+        flip = jnp.dot(seed_normal, new_normal) < 0
+        new_normal = jnp.where(flip, -new_normal, new_normal)
+        minor_pc = jnp.where(flip, -minor_pc, minor_pc)
+
+        def one_theta(theta):
+            rot = axis_rotation(minor_pc, theta)
+            t_major = rot @ major_pc
+            t_normal = rot @ new_normal
+
+            def one_dy(dy):
+                bc = seed + t_major * dy - gripper.init_bite * t_normal
+                c = counts_at(bc, t_normal, t_major, minor_pc)
+                ok = (c[0] > 0) & (c[1] == 0) & (c[2] == 0) & (c[3] == 0)
+                return bc, ok
+
+            bcs, oks = jax.vmap(one_dy)(dys)           # (n_dy, 3), (n_dy,)
+            n_ok = jnp.sum(oks)
+            # middle valid dy (grasp_sampler.py:1561-1563)
+            target = jnp.ceil(n_ok / 2.0).astype(jnp.int32)
+            cum = jnp.cumsum(oks.astype(jnp.int32))
+            pick = jnp.argmax((cum == target) & oks)
+            bc = bcs[pick]
+
+            # downward-grasp guard (grasp_sampler.py:1564-1569)
+            finger_top = bc + t_normal * gripper.hand_depth
+            downward = finger_top[2] < bc[2] - gripper.hand_depth * 0.5
+            theta_ok = (n_ok > 0) & downward
+
+            # approach along +normal until collision (grasp_sampler.py:1574-1585)
+            steps = jnp.arange(approach_steps, dtype=dtype) * approach_step
+
+            def collide_at(s):
+                c = counts_at(bc + t_normal * s, t_normal, t_major, minor_pc)
+                return (c[1] > 0) | (c[2] > 0) | (c[3] > 0)
+
+            collides = jax.vmap(collide_at)(steps)     # (approach_steps,)
+            hit = jnp.any(collides)
+            s_hit = steps[jnp.argmax(collides)]
+            bc2 = bc + t_normal * s_hit - t_normal * approach_step * 3.0
+
+            # table clearance (grasp_sampler.py:1588-1605); world hand points
+            rot_rows = jnp.stack([t_normal, t_major, minor_pc])
+            hp_world = bc2 + hand_pts_local @ rot_rows
+            min_i = jnp.argmin(hp_world[:, 2])
+            min_pos = hp_world[min_i]
+            nz_safe = jnp.where(jnp.abs(t_normal[2]) < 1e-9, 1e-9, t_normal[2])
+            px = -min_pos[2] * t_normal[0] / nz_safe + min_pos[0]
+            py = -min_pos[2] * t_normal[1] / nz_safe + min_pos[1]
+            p_table = jnp.stack([px, py, jnp.zeros((), dtype)])
+            dis_go_back = jnp.linalg.norm(min_pos - p_table) + safety_dis_above_table
+            need_adjust = min_pos[2] < safety_dis_above_table
+            bc_mod = jnp.where(need_adjust, bc2 - t_normal * dis_go_back, bc2)
+
+            # final checks (grasp_sampler.py:1607-1614)
+            c_final = counts_at(bc_mod, t_normal, t_major, minor_pc)
+            final_ok = ((c_final[0] > min_open_points)
+                        & (c_final[1] == 0) & (c_final[2] == 0)
+                        & (c_final[3] == 0))
+            valid = m_ok & theta_ok & hit & final_ok
+            frame = jnp.stack([bc2, t_normal, t_major, minor_pc, bc_mod])
+            return frame, valid
+
+        return jax.vmap(one_theta)(thetas)  # (n_theta, 5, 3), (n_theta,)
+
+    frames, valid = jax.vmap(one_seed)(seed_idx)
+    valid = valid & above[seed_idx][:, None]  # discard pad seeds (none above)
+    return GpgCandidates(frames.reshape(-1, 5, 3), valid.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# Host-side accumulation wrapper (the reference's while-loop, host-side)
+# ---------------------------------------------------------------------------
+
+def sample_until(sample_fn, key, num_wanted: int, max_rounds: int = 10):
+    """Run a fixed-budget batched sampler until enough valid samples packed.
+
+    sample_fn(key) must return a NamedTuple whose last field is a validity
+    mask; returns the packed (host numpy) fields.
+    """
+    collected = None
+    for _ in range(max_rounds):
+        key, sub = jax.random.split(key)
+        out = sample_fn(sub)
+        valid = np.asarray(out[-1])
+        packed = [np.asarray(f)[valid] for f in out[:-1]]
+        if collected is None:
+            collected = packed
+        else:
+            collected = [np.concatenate([c, p]) for c, p in zip(collected, packed)]
+        if len(collected[0]) >= num_wanted:
+            break
+    return [c[:num_wanted] for c in collected]

@@ -1,0 +1,233 @@
+"""Sampler tests on analytic geometry: contact finding on a sphere SDF,
+antipodal sampling produces force-closure grasps, GPG produces collision-free
+candidates on a synthetic box scene (test strategy modeled on
+dex-net/test/grasping_test.py:216-336)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pointnetgpd_tpu.geometry.sdf import make_sdf, world_to_grid
+from pointnetgpd_tpu.grasping.grasp import (
+    close_fingers,
+    configuration_from_params,
+    find_contact,
+    grasp_from_contact_and_axis,
+    line_of_action,
+    rotated_full_axis,
+)
+from pointnetgpd_tpu.grasping.gripper import (
+    Gripper,
+    collision_and_open_counts,
+    hand_points,
+    panel_box_array,
+    panel_boxes,
+)
+from pointnetgpd_tpu.grasping.quality import force_closure
+from pointnetgpd_tpu.grasping.samplers import (
+    antipodal_sample_grasps,
+    gaussian_sample_grasps,
+    gpg_sample_candidates,
+    sample_until,
+    uniform_sample_grasps,
+)
+
+DIM, RES, RADIUS = 48, 0.005, 0.06
+
+
+@pytest.fixture(scope="module")
+def sphere():
+    origin = -RES * (DIM - 1) / 2.0 * np.ones(3)
+    ii, jj, kk = np.meshgrid(*(np.arange(DIM),) * 3, indexing="ij")
+    pts = origin + RES * np.stack([ii, jj, kk], axis=-1)
+    data = np.linalg.norm(pts, axis=-1) - RADIUS
+    return make_sdf(data, origin, RES)
+
+
+class TestContactFinding:
+    def test_find_contact_on_sphere(self, sphere):
+        """A line of action from outside toward the center must contact at
+        radius RADIUS (within a fraction of the grid resolution)."""
+        start_w = np.array([-0.1, 0.0, 0.0])
+        start = world_to_grid(sphere, jnp.asarray(start_w))
+        loa = line_of_action(start, jnp.asarray([1.0, 0, 0]),
+                             2 * 0.1 / RES, 60)
+        found, pt_grid, strict = find_contact(sphere, loa)
+        assert bool(found) and bool(strict)
+        pt_world = np.asarray(sphere.origin) + RES * np.asarray(pt_grid)
+        np.testing.assert_allclose(np.linalg.norm(pt_world), RADIUS,
+                                   atol=RES / 2)
+
+    def test_find_contact_miss(self, sphere):
+        start = world_to_grid(sphere, jnp.asarray([-0.1, 0.1, 0.0]))
+        loa = line_of_action(start, jnp.asarray([1.0, 0, 0]), 2 * 0.1 / RES, 60)
+        found, _, strict = find_contact(sphere, loa)
+        assert not bool(found) and not bool(strict)
+
+    def test_close_fingers_on_sphere(self, sphere):
+        """Grasp through the center: contacts at +-RADIUS along the axis,
+        outward normals radial."""
+        config = configuration_from_params(
+            jnp.zeros(3), jnp.asarray([0.0, 1.0, 0.0]), 0.18)
+        contacts = close_fingers(sphere, config[None], num_samples=60,
+                                 check_approach=False)
+        assert bool(contacts.found[0])
+        pts = np.asarray(contacts.points[0])
+        np.testing.assert_allclose(np.abs(pts[:, 1]), RADIUS, atol=RES)
+        np.testing.assert_allclose(pts[:, [0, 2]], 0.0, atol=RES)
+        normals = np.asarray(contacts.normals[0])
+        # outward radial: n ~ +-y
+        assert normals[0, 1] < -0.9 and normals[1, 1] > 0.9
+
+    def test_close_fingers_approach_collision(self, sphere):
+        """Approach angle 0 means the palm comes in along +x of the grasp
+        frame; a grasp whose approach path passes through the object must be
+        rejected when check_approach=True."""
+        # grasp center on the far side so the approach sweeps the sphere
+        config = configuration_from_params(
+            jnp.asarray([RADIUS + 2 * RES, 0.0, 0.0]),
+            jnp.asarray([0.0, 0.0, 1.0]), 0.18)
+        blocked = close_fingers(sphere, config[None], num_samples=60,
+                                check_approach=True, approach_dist=0.5,
+                                num_approach_samples=120)
+        free = close_fingers(sphere, config[None], num_samples=60,
+                             check_approach=False)
+        # without the approach check the fingers contact the sphere edge;
+        # with it, the palm sweep through the sphere must reject the grasp
+        assert not bool(blocked.found[0])
+
+    def test_grasp_from_contact_and_axis(self, sphere):
+        c1 = jnp.asarray([-RADIUS, 0.0, 0.0])
+        config, contacts, valid = grasp_from_contact_and_axis(
+            sphere, c1, jnp.asarray([1.0, 0.0, 0.0]), 0.18, num_samples=80)
+        assert bool(valid)
+        pts = np.asarray(contacts.points)
+        np.testing.assert_allclose(np.abs(pts[:, 0]), RADIUS, atol=2 * RES)
+        center = np.asarray(config[0:3])
+        np.testing.assert_allclose(center, 0.0, atol=2 * RES)
+
+
+class TestAntipodalSampler:
+    def test_sampled_grasps_are_force_closure(self, sphere):
+        """Every valid sampled grasp must pass the reference's acceptance
+        criteria; on a sphere, contact pairs should be near-antipodal
+        (grasping_test.py:216-233 idea)."""
+        out = antipodal_sample_grasps(
+            sphere, jax.random.PRNGKey(0), max_width=0.18,
+            friction_coef=2.0, num_attempts=48, num_samples_loa=48)
+        valid = np.asarray(out.valid)
+        assert valid.sum() >= 3  # sphere is easy; plenty must survive
+        configs = np.asarray(out.configs)[valid]
+        pts = np.asarray(out.contacts)[valid]
+        nrms = np.asarray(out.normals)[valid]
+        for p, n in zip(pts, nrms):
+            assert int(force_closure(jnp.asarray(p[0]), jnp.asarray(n[0]),
+                                     jnp.asarray(p[1]), jnp.asarray(n[1]),
+                                     2.0)) == 1
+            # contacts on the sphere surface
+            np.testing.assert_allclose(np.linalg.norm(p, axis=1), RADIUS,
+                                       atol=2 * RES)
+        # angle quirk: approach angles from the degree candidate set
+        assert set(np.asarray(configs)[:, 7].round(0)) <= {-90., -60., -30.,
+                                                           0., 30., 60., 90.}
+
+    def test_sample_until_accumulates(self, sphere):
+        fn = lambda k: antipodal_sample_grasps(
+            sphere, k, max_width=0.18, friction_coef=2.0,
+            num_attempts=32, num_samples_loa=48)
+        configs, pts, nrms = sample_until(fn, jax.random.PRNGKey(1), 5,
+                                          max_rounds=6)
+        assert len(configs) == 5
+
+
+class TestUniformGaussianSamplers:
+    def test_uniform(self, sphere):
+        out = uniform_sample_grasps(sphere, jax.random.PRNGKey(2),
+                                    max_width=0.18, num_attempts=64,
+                                    num_samples_loa=48)
+        assert int(np.asarray(out.valid).sum()) > 0
+
+    def test_gaussian(self, sphere):
+        out = gaussian_sample_grasps(
+            sphere, jax.random.PRNGKey(3), max_width=0.18,
+            center_of_mass=jnp.zeros(3),
+            principal_dims=jnp.asarray([2 * RADIUS] * 3),
+            num_attempts=64, num_samples_loa=48)
+        assert int(np.asarray(out.valid).sum()) > 0
+
+
+class TestHandGeometry:
+    def test_hand_points_layout(self):
+        g = Gripper()
+        p = hand_points(g)
+        assert p.shape == (21, 3)
+        # p1 is at the finger tip: hand_depth along x
+        np.testing.assert_allclose(p[1][0], g.hand_depth)
+        # open width between p5 and p6
+        np.testing.assert_allclose(p[6][1] - p[5][1], g.open_width)
+
+    def test_open_box_matches_reference_corners(self):
+        g = Gripper()
+        boxes = panel_boxes(g)
+        lo, hi = boxes["p_open"]
+        # open region: x in (0, hand_depth), y in +-open_w/2, z in +-hh/2
+        np.testing.assert_allclose(lo, [0.0, -g.open_width / 2, -g.hand_height / 2])
+        np.testing.assert_allclose(hi, [g.hand_depth, g.open_width / 2,
+                                        g.hand_height / 2])
+
+    def test_counts(self):
+        g = Gripper()
+        boxes = jnp.asarray(panel_box_array(g))
+        # one point in the open region, one inside the left finger
+        open_pt = [g.hand_depth / 2, 0.0, 0.0]
+        left_pt = [g.hand_depth / 2, -(g.open_width / 2 + g.finger_width / 2), 0.0]
+        far_pt = [1.0, 1.0, 1.0]
+        pts = jnp.asarray([open_pt, left_pt, far_pt])
+        counts = np.asarray(collision_and_open_counts(pts, boxes))
+        assert counts[0] == 1   # open
+        assert counts[2] == 1   # left finger body
+        assert counts[1] == 0 and counts[3] == 0
+
+
+class TestGpgSampler:
+    def test_box_scene_candidates(self):
+        """A box on a table: GPG must produce valid candidates whose open
+        region contains points and whose hand does not collide."""
+        rng = np.random.RandomState(0)
+        # camera-visible faces only (top + two sides), camera-consistent
+        # normals — a closed box would make the normal covariance isotropic
+        # and the local frames degenerate, which no real depth camera produces
+        n = 500
+        top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+        front = rng.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
+        side = rng.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+        pts = np.concatenate([top, front, side]).astype(np.float32)
+        pts[:, :2] -= 0.03
+        normals = np.concatenate([
+            np.tile([0, 0, 1.0], (n, 1)),
+            np.tile([0, -1.0, 0], (n, 1)),
+            np.tile([1.0, 0, 0], (n, 1)),
+        ]).astype(np.float32)
+
+        g = Gripper()
+        out = gpg_sample_candidates(
+            jnp.asarray(pts), jnp.asarray(normals),
+            jax.random.PRNGKey(0), g, num_seeds=24, approach_steps=25)
+        valid = np.asarray(out.valid)
+        assert valid.sum() > 0
+        frames = np.asarray(out.frames)[valid]
+        boxes = jnp.asarray(panel_box_array(g), jnp.float32)
+        from pointnetgpd_tpu.grasping.gripper import points_in_frame
+
+        for fr in frames[:10]:
+            bc_mod, approach, major, minor = fr[4], fr[1], fr[2], fr[3]
+            pf = points_in_frame(jnp.asarray(bc_mod), jnp.asarray(approach),
+                                 jnp.asarray(major), jnp.asarray(minor),
+                                 jnp.asarray(pts))
+            counts = np.asarray(collision_and_open_counts(pf, boxes))
+            assert counts[0] > 10           # open region populated
+            assert counts[1:].sum() == 0    # no collision
+            # frame orthonormal
+            rot = np.stack([approach, major, minor])
+            np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
