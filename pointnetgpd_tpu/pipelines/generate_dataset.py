@@ -1,0 +1,160 @@
+"""Offline grasp-label dataset generation: the generate-dataset-canny driver.
+
+Re-design of the reference pipeline (reference:
+dex-net/apps/generate-dataset-canny.py): instead of 50 worker processes each
+looping per-grasp quality evaluations (do_job/worker, :34-143), one host
+process drives batched device programs — antipodal sampling, friction-ladder
+labeling, and Ferrari-Canny scoring each evaluate hundreds of grasps per
+call. Output format matches the reference exactly: per-object ``.npy`` of
+12-column rows (10-dim configuration + score_friction + score_canny,
+:48-54) plus a pickle of (config, fc, canny) tuples.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry.io import read_obj, read_sdf
+from ..grasping.evaluation import (
+    FC_LIST_FULL,
+    FC_LIST_LESS_CLASS,
+    evaluate_ferrari_canny,
+    friction_boundary_labels,
+)
+from ..grasping.gripper import Gripper
+from ..grasping.samplers import antipodal_sample_grasps
+
+
+def label_grasps_for_object(
+    sdf,
+    center_of_mass,
+    gripper: Gripper,
+    key,
+    *,
+    fc_list=None,
+    grasps_per_class: int = 20,
+    batch_attempts: int = 256,
+    max_rounds: int = 40,
+    friction_coef_sampling: float = 2.0,
+    num_samples_loa: int = 40,
+):
+    """Sample + label grasps until every friction class has enough examples
+    (the reference's while-loop, generate-dataset-canny.py:109-134; here the
+    while-loop is host-side over fixed-shape device batches).
+
+    Returns (rows (N, 12) float32, counts (n_fc,)) — rows in the reference's
+    .npy format.
+    """
+    fc_list = FC_LIST_LESS_CLASS if fc_list is None else np.asarray(fc_list)
+    n_fc = len(fc_list)
+    fc_dev = jnp.asarray(fc_list.astype(np.float32))
+    counts = np.zeros(n_fc, dtype=int)
+    rows = []
+
+    for _ in range(max_rounds):
+        key, k_sample = jax.random.split(key)
+        sampled = antipodal_sample_grasps(
+            sdf, k_sample, max_width=gripper.max_width,
+            min_width=gripper.min_width,
+            friction_coef=friction_coef_sampling,
+            num_attempts=batch_attempts, num_samples_loa=num_samples_loa)
+        keep = np.asarray(sampled.valid)
+        configs = np.asarray(sampled.configs)[keep]
+        if len(configs) == 0:
+            continue
+
+        configs_dev = jnp.asarray(configs)
+        label_fc, label_idx, valid = friction_boundary_labels(
+            sdf, configs_dev, fc_dev, num_samples=num_samples_loa,
+            n_fc=n_fc)
+        canny, _ = evaluate_ferrari_canny(
+            sdf, configs_dev, jnp.asarray(center_of_mass), label_fc,
+            num_samples=num_samples_loa)
+
+        label_fc = np.asarray(label_fc)
+        label_idx = np.asarray(label_idx)
+        valid = np.asarray(valid)
+        canny = np.asarray(canny)
+
+        for cfg, fc, idx, ok, cq in zip(configs, label_fc, label_idx, valid,
+                                        canny):
+            if not ok or counts[idx] >= grasps_per_class:
+                continue
+            counts[idx] += 1
+            rows.append(np.concatenate([cfg[:10], [fc, cq]]).astype(np.float32))
+
+        if np.all(counts >= grasps_per_class):
+            break
+
+    return (np.stack(rows) if rows else np.zeros((0, 12), np.float32)), counts
+
+
+def generate_for_object_dir(obj_dir: str, out_dir: str, gripper: Gripper,
+                            seed: int = 0, *, filename_prefix: str = "default",
+                            less_class: bool = True, **kwargs):
+    """Process one YCB object directory (reference layout:
+    {obj}/google_512k/nontextured.obj/.sdf — generate-dataset-canny.py:75-77).
+    Writes {prefix}_{object}_{n}.npy + .pickle like the reference (:44-54)."""
+    object_name = os.path.basename(obj_dir.rstrip("/"))
+    obj_path = os.path.join(obj_dir, "google_512k", "nontextured.obj")
+    sdf_path = os.path.join(obj_dir, "google_512k", "nontextured.sdf")
+    if not (os.path.exists(obj_path) and os.path.exists(sdf_path)):
+        print(f"can not find obj/sdf for {object_name}")
+        return None
+
+    from ..geometry.mesh import center_of_mass as mesh_com
+
+    verts, faces = read_obj(obj_path)
+    sdf = read_sdf(sdf_path)
+    com = mesh_com(verts, faces)
+
+    fc_list = FC_LIST_LESS_CLASS if less_class else FC_LIST_FULL
+    rows, counts = label_grasps_for_object(
+        sdf, com, gripper, jax.random.PRNGKey(seed), fc_list=fc_list, **kwargs)
+    if len(rows) == 0:
+        return None
+
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.join(out_dir, f"{filename_prefix}_{object_name}_{len(rows)}")
+    np.save(base + ".npy", rows)
+    with open(base + ".pickle", "wb") as f:
+        pickle.dump([(r[:10], r[10], r[11]) for r in rows], f)
+    print(f"finished job {object_name}: counts={counts.tolist()}")
+    return base + ".npy"
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="grasp-label dataset generation")
+    p.add_argument("prefix", nargs="?", default="default")
+    p.add_argument("--data-root",
+                   default=os.environ.get("PointNetGPD_FOLDER", ""))
+    p.add_argument("--out-dir", default="./generated_grasps")
+    p.add_argument("--gripper", default="robotiq_85")
+    p.add_argument("--grasps-per-class", type=int, default=20)
+    p.add_argument("--less-class", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    gripper = Gripper()
+    file_dir = os.path.join(args.data_root,
+                            "PointNetGPD/data/ycb-tools/models/ycb")
+    objects = sorted(
+        os.path.join(file_dir, d) for d in os.listdir(file_dir)
+        if os.path.isdir(os.path.join(file_dir, d)))
+    for i, obj_dir in enumerate(objects):
+        generate_for_object_dir(
+            obj_dir, args.out_dir, gripper, seed=args.seed + i,
+            filename_prefix=args.prefix, less_class=args.less_class,
+            grasps_per_class=args.grasps_per_class)
+    print("All job done.")
+
+
+if __name__ == "__main__":
+    main()

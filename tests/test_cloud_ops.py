@@ -1,0 +1,151 @@
+"""Cloud-op tests: voxel downsampling invariants, KNN normals on analytic
+surfaces, and GPD projection parity vs the reference cal_projection
+(reference: PointNetGPD/model/dataset.py:142-198 as oracle; the numba
+VoxelGrid oracle is unavailable — numba is not installed — so downsampling is
+tested on invariants instead)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pointnetgpd_tpu.ops.cloud import estimate_normals_knn, voxel_downsample
+from pointnetgpd_tpu.ops.projection import gpd_projection_features, project_to_image
+
+from conftest import REFERENCE_ROOT, requires_reference
+
+
+class TestVoxelDownsample:
+    def test_dedupes_dense_cloud(self):
+        rng = np.random.RandomState(0)
+        # many duplicated points in few voxels
+        base = rng.rand(32, 3).astype(np.float32)
+        pts = np.repeat(base, 50, axis=0)
+        centers, mask = voxel_downsample(jnp.asarray(pts), n_grid=100)
+        kept = np.asarray(centers)[np.asarray(mask)]
+        assert len(kept) <= 32 * 2  # at most a couple voxels per base point
+        # each kept center is inside the cloud bbox
+        assert (kept >= pts.min(0) - 1e-5).all() and (kept <= pts.max(0) + 1e-5).all()
+
+    def test_preserves_sparse_cloud(self):
+        rng = np.random.RandomState(1)
+        pts = rng.rand(200, 3).astype(np.float32)
+        centers, mask = voxel_downsample(jnp.asarray(pts), n_grid=500)
+        # at 500^3 resolution nearly all random points are unique voxels
+        assert int(np.asarray(mask).sum()) >= 195
+        # centers within half a voxel of their source points
+        step = (pts.max(0) - pts.min(0)) / 500
+        kept_rows = np.asarray(mask)
+        d = np.abs(np.asarray(centers)[kept_rows] - pts[kept_rows])
+        assert (d <= step / 2 + 1e-6).all()
+
+
+class TestKnnNormals:
+    def test_plane_normals(self):
+        rng = np.random.RandomState(2)
+        pts = np.zeros((500, 3), np.float32)
+        pts[:, :2] = rng.rand(500, 2)
+        normals = np.asarray(estimate_normals_knn(
+            jnp.asarray(pts), jnp.asarray([0.5, 0.5, 1.0]), k=15, chunk=256))
+        # all normals ~ +z (flipped toward the camera above)
+        assert normals[:, 2].min() > 0.99
+
+    def test_sphere_normals_radial(self):
+        rng = np.random.RandomState(3)
+        v = rng.randn(800, 3).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = 0.1 * v
+        cam = np.array([0.0, 0.0, 10.0], np.float32)
+        normals = np.asarray(estimate_normals_knn(
+            jnp.asarray(pts), jnp.asarray(cam), k=12, chunk=256))
+        cos = np.abs(np.sum(normals * v, axis=1))
+        assert np.quantile(cos, 0.1) > 0.95  # radial up to sign
+        # camera-consistent: normals on the top hemisphere point up
+        top = v[:, 2] > 0.5
+        assert normals[top, 2].min() > 0
+
+
+@pytest.fixture(scope="module")
+def ref_dataset_cls():
+    import importlib.util
+    import os
+    import pickle
+    import tempfile
+
+    if "open3d" not in sys.modules:
+        sys.modules["open3d"] = types.ModuleType("open3d")
+    tmp = tempfile.mkdtemp()
+    os.makedirs(f"{tmp}/PointNetGPD/data", exist_ok=True)
+    with open(f"{tmp}/PointNetGPD/data/google2cloud.pkl", "wb") as f:
+        pickle.dump({}, f)
+    os.environ["PointNetGPD_FOLDER"] = tmp
+    spec = importlib.util.spec_from_file_location(
+        "_ref_dataset2", f"{REFERENCE_ROOT}/PointNetGPD/model/dataset.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ds = mod.BaseGraspDataset()
+    ds.voxel_point_num = 50
+    ds.project_chann = 12
+    ds.project_size = 60
+    ds.projection_margin = 1
+    return ds
+
+
+@requires_reference
+class TestProjectionParity:
+    def _case(self, seed, n=400):
+        rng = np.random.RandomState(seed)
+        width = 0.085
+        pts = (rng.rand(n, 3) - 0.5) * [width / 2, width, width / 2]
+        normals = rng.randn(n, 3)
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        return pts, normals, width
+
+    @pytest.mark.parametrize("order", [(0, 1, 2), (1, 2, 0), (0, 2, 1)])
+    def test_single_projection_matches_reference(self, ref_dataset_cls, order):
+        pts, normals, width = self._case(4)
+        ref_occ, ref_norm = ref_dataset_cls.cal_projection(
+            pts, 60, 1, normals, np.asarray(order), width)
+        occ, norm = project_to_image(
+            jnp.asarray(pts), jnp.asarray(normals),
+            jnp.ones(len(pts), bool), width, order)
+        np.testing.assert_allclose(np.asarray(occ), ref_occ, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(norm), ref_norm, atol=1e-5)
+
+    def test_full_12_channel_features(self, ref_dataset_cls):
+        pts, normals, width = self._case(5)
+        occ1, n1 = ref_dataset_cls.cal_projection(pts, 60, 1, normals,
+                                                  np.asarray([0, 1, 2]), width)
+        occ2, n2 = ref_dataset_cls.cal_projection(pts, 60, 1, normals,
+                                                  np.asarray([1, 2, 0]), width)
+        occ3, n3 = ref_dataset_cls.cal_projection(pts, 60, 1, normals,
+                                                  np.asarray([0, 2, 1]), width)
+        ref = np.dstack([occ1, n1, occ2, n2, occ3, n3])
+        ours = gpd_projection_features(
+            jnp.asarray(pts), jnp.asarray(normals), jnp.ones(len(pts), bool),
+            width, project_chann=12)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    def test_3_channel(self, ref_dataset_cls):
+        pts, normals, width = self._case(6)
+        _, ref_norm = ref_dataset_cls.cal_projection(pts, 60, 1, normals,
+                                                     np.asarray([0, 1, 2]), width)
+        ours = gpd_projection_features(
+            jnp.asarray(pts), jnp.asarray(normals), jnp.ones(len(pts), bool),
+            width, project_chann=3)
+        np.testing.assert_allclose(np.asarray(ours), ref_norm, atol=1e-5)
+
+    def test_batched_vmap(self):
+        rng = np.random.RandomState(7)
+        pts = (rng.rand(4, 300, 3) - 0.5).astype(np.float32) * 0.08
+        normals = rng.randn(4, 300, 3).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=2, keepdims=True)
+        valid = jnp.ones((4, 300), bool)
+        out = jax.vmap(lambda p, n, v: gpd_projection_features(
+            p, n, v, 0.085, project_chann=12))(jnp.asarray(pts),
+                                               jnp.asarray(normals), valid)
+        assert out.shape == (4, 60, 60, 12)
+        assert np.isfinite(np.asarray(out)).all()
