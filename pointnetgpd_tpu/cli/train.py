@@ -74,10 +74,6 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     var = VARIANTS[args.variant]
-    if var["gpd"]:
-        raise SystemExit(
-            "GPD projection-CNN training wiring lands with the gpd trainer; "
-            "use --variant 1v/1v_mc/fullv/fullv_mc")
 
     from ..training.data import GraspDataIndex, OneViewBatcher, SyntheticGraspData
     from ..training.loop import TrainConfig, Trainer
@@ -97,6 +93,8 @@ def main(argv=None):
         log_dir=args.log_dir,
         seed=args.seed,
         n_devices=args.n_devices,
+        gpd=var["gpd"],
+        project_chann=var.get("project_chann", 3),
     )
 
     def make_data(tag, seed):

@@ -1,0 +1,146 @@
+"""Online grasp-detection node: the kinect2grasp equivalent.
+
+Re-design of the reference's ROS node (reference:
+dex-net/apps/kinect2grasp.py:110-556): the per-frame pipeline — voxel
+downsample, surface normals, GPG candidate sampling, closing-region crops,
+per-candidate scoring with repeat voting, ranking — runs as a handful of
+batched device calls (the reference uses 20 sampler worker processes and a
+per-candidate batch-1 torch loop, :157-173,454-497). ROS stays host-side:
+``GraspDetector.process_frame`` is pure (testable without ROS) and
+``run_ros_node`` wires it to the same topics (/table_top_points in,
+gripper MarkerArray + GraspConfigList out, :400-424).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..grasping.gripper import Gripper
+from ..grasping.samplers import gpg_sample_candidates
+from ..inference.scorer import GraspScorer
+from ..ops.cloud import estimate_normals_knn, voxel_downsample
+
+
+@dataclass
+class DetectorConfig:
+    """Online-path parameters (kinect2grasp.py:42-63,429 + sampler params)."""
+
+    num_grasps: int = 40                # candidate budget per frame
+    max_num_samples: int = 150          # GPG seed budget
+    n_voxel: int = 500                  # voxel grid resolution
+    normal_k: int = 30                  # pcl KSearch=30
+    input_points_num: int = 500         # crop resample size
+    minimal_points_send_to_point_net: int = 20
+    repeat: int = 1                     # vote repeats (:429)
+    select_point_above_table: float = 0.010
+
+
+class GraspDetector:
+    """Scene cloud -> ranked good grasps, all-device pipeline."""
+
+    def __init__(self, scorer: GraspScorer, gripper: Gripper = Gripper(),
+                 config: DetectorConfig | None = None):
+        self.scorer = scorer
+        self.gripper = gripper
+        self.cfg = config or DetectorConfig()
+        self.scorer.num_points = self.cfg.input_points_num
+        self.scorer.repeat = self.cfg.repeat
+        self.scorer.min_points = self.cfg.minimal_points_send_to_point_net
+
+    def process_frame(self, points: np.ndarray, cam_pos: np.ndarray,
+                      seed: int = 0):
+        """One frame: returns dict with candidates, scores, and the ranked
+        good grasps as (5, 3) frames [bottom_center, approach, binormal,
+        minor, bottom_center_modified]."""
+        cfg = self.cfg
+        points = np.asarray(points, np.float32)
+
+        # voxel downsample (kinect2grasp.py:102-127)
+        centers, mask = voxel_downsample(jnp.asarray(points), n_grid=cfg.n_voxel)
+        pts = np.asarray(centers)[np.asarray(mask)]
+
+        # surface normals, camera-consistent (kinect2grasp.py:131-144)
+        normals = estimate_normals_knn(
+            jnp.asarray(pts), jnp.asarray(cam_pos, jnp.float32), k=cfg.normal_k)
+
+        # GPG candidates (kinect2grasp.py:154-173 -> grasp_sampler.py:1389+)
+        key = jax.random.PRNGKey(seed)
+        k_gpg, k_score = jax.random.split(key)
+        cand = gpg_sample_candidates(
+            jnp.asarray(pts), normals, k_gpg, self.gripper,
+            num_seeds=cfg.max_num_samples,
+            min_points_above_table=cfg.select_point_above_table)
+        valid = np.asarray(cand.valid)
+        frames = np.asarray(cand.frames)[valid][: cfg.num_grasps]
+        if len(frames) == 0:
+            empty = np.zeros((0,), np.float32)
+            return {"grasps": np.zeros((0, 5, 3), np.float32),
+                    "scores": empty, "pred": np.zeros((0,), np.int64),
+                    "all_frames": np.zeros((0, 5, 3), np.float32),
+                    "all_scores": empty, "counts": np.zeros((0,), np.int32),
+                    "points": pts}
+
+        # crop + batched scoring + vote + rank (kinect2grasp.py:443-514)
+        result = self.scorer.score_candidates(
+            pts, frames, hand_depth=self.gripper.hand_depth,
+            width=self.gripper.open_width, seed=seed + 1)
+        order = result["good_indices"]
+        return {
+            "grasps": frames[order],
+            "scores": result["score"][order],
+            "pred": result["pred"],
+            "all_frames": frames,
+            "all_scores": result["score"],
+            "counts": result["counts"],
+            "points": pts,
+        }
+
+
+def run_ros_node(detector: GraspDetector, cam_pos, *,
+                 cloud_topic: str = "/table_top_points",
+                 marker_topic: str = "gripper_vis",
+                 grasp_topic: str = "/detect_grasps/clustered_grasps",
+                 rate_hz: float = 10.0):
+    """ROS wrapper: same topics/params as the reference node
+    (kinect2grasp.py:400-424,412-418 robot_at_home gating, :516-553 output).
+    Requires rospy + gpd_grasp_msgs + visualization_msgs at runtime."""
+    import rospy
+    from sensor_msgs.msg import PointCloud2
+    from visualization_msgs.msg import MarkerArray
+
+    from .pointclouds import pointcloud2_to_xyz_array
+    from .ros_messages import grasp_config_list_msg, gripper_marker_array
+
+    rospy.init_node("grasp_tf_broadcaster", anonymous=True)
+    pub_markers = rospy.Publisher(marker_topic, MarkerArray, queue_size=1)
+    pub_grasps = rospy.Publisher(grasp_topic, None, queue_size=1)
+    rate = rospy.Rate(rate_hz)
+    rospy.set_param("/robot_at_home", "true")
+
+    seed = 0
+    while not rospy.is_shutdown():
+        if rospy.get_param("/robot_at_home") == "false":
+            rospy.loginfo("Robot is moving, waiting for it to go home.")
+            rate.sleep()
+            continue
+        msg = rospy.wait_for_message(cloud_topic, PointCloud2)
+        if not msg.data:
+            rospy.loginfo("No points on the table, waiting...")
+            continue
+        points = pointcloud2_to_xyz_array(msg)
+        out = detector.process_frame(points, cam_pos, seed=seed)
+        seed += 1
+        if len(out["grasps"]) == 0:
+            rospy.loginfo("No good grasps this frame.")
+            continue
+        pub_markers.publish(
+            gripper_marker_array(out["grasps"], detector.gripper))
+        pub_grasps.publish(
+            grasp_config_list_msg(out["grasps"], out["scores"]))
+        rospy.loginfo("Published %d ranked grasps", len(out["grasps"]))
+        rate.sleep()

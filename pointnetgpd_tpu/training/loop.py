@@ -75,6 +75,8 @@ class TrainConfig:
     min_point_limit: int = 50
     save_interval: int = 1          # epochs between checkpoints (main_1v.py:31)
     log_interval: int = 10          # steps between scalar logs (main_1v.py:30)
+    gpd: bool = False                # GPD projection-CNN baseline variant
+    project_chann: int = 3           # GPD input channels (3 or 12)
     tag: str = "default"
     model_path: str = "./assets/learned_models"
     log_dir: str = "./assets/log"
@@ -91,17 +93,29 @@ class Trainer:
         self.logger = MetricsLogger(cfg.log_dir, cfg.tag)
 
         key = jax.random.PRNGKey(cfg.seed)
-        params, bn_state = init_pointnet_cls(
-            key, input_chann=cfg.input_chann, k=cfg.num_classes
-        )
         self.tx = make_optimizer(cfg.lr, cfg.lr_step, cfg.lr_gamma,
                                  steps_per_epoch=cfg.steps_per_epoch)
-        state = init_train_state(params, bn_state, self.tx)
+        if cfg.gpd:
+            from ..models.gpd import init_gpd_classifier
+            from .train import make_gpd_train_step
+
+            params = init_gpd_classifier(key, cfg.project_chann)
+            state = init_train_state(params, {}, self.tx)
+            self.train_step = make_gpd_train_step(
+                self.tx, num_points=cfg.grasp_points_num,
+                project_chann=cfg.project_chann,
+                min_point_limit=cfg.min_point_limit,
+            )
+        else:
+            params, bn_state = init_pointnet_cls(
+                key, input_chann=cfg.input_chann, k=cfg.num_classes
+            )
+            state = init_train_state(params, bn_state, self.tx)
+            self.train_step = make_fused_train_step(
+                self.tx, num_points=cfg.grasp_points_num,
+                min_point_limit=cfg.min_point_limit,
+            )
         self.state = replicate_tree(state, self.mesh)
-        self.train_step = make_fused_train_step(
-            self.tx, num_points=cfg.grasp_points_num,
-            min_point_limit=cfg.min_point_limit,
-        )
         self.eval_step = make_eval_step()
         self._data_sharding = batch_sharding(self.mesh)
         self._epoch0 = 0
@@ -146,6 +160,10 @@ class Trainer:
         if self.eval_data is None:
             return None, None
         cfg = self.cfg
+        if cfg.gpd:
+            # GPD eval rides the train-step metrics for now (stateless model,
+            # no BN train/eval distinction beyond dropout which is off)
+            return None, None
         it = iter(self.eval_data)
         tot = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
         for _ in range(cfg.eval_steps):

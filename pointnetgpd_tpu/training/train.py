@@ -167,3 +167,68 @@ def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
 
 def init_train_state(params, bn_state, tx) -> TrainState:
     return TrainState(params, bn_state, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_gpd_train_step(tx, *, num_points: int, project_chann: int = 3,
+                        min_point_limit: int = 50, knn_k: int = 30):
+    """Train step for the GPD projection-CNN baseline
+    (reference: PointNetGPD/main_1v_gpd.py — GPDClassifier on 60x60
+    projection features, Adam + StepLR(30, 0.1), persistent optimizer).
+
+    Fused on device per sample: closing-region crop -> KNN surface normals ->
+    occupancy/normal projection images -> CNN fwd/bwd. Deviation (documented):
+    the reference estimates normals on the FULL transformed cloud with an
+    open3d KDTree and then selects the crop's rows (dataset.py:93-95); we
+    estimate them within the cropped neighborhood — the same local geometry
+    at a fraction of the cost.
+
+    The GPD model is stateless (no BN); TrainState.bn_state holds an empty
+    dict.
+    """
+    from ..models.gpd import apply_gpd_classifier
+    from ..ops.cloud import estimate_normals_knn
+    from ..ops.projection import gpd_projection_features
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, grasps, clouds, transforms, labels,
+                   label_weights, key):
+        b = grasps.shape[0]
+        keys = jax.random.split(key, b)
+
+        def features_one(grasp, pc, transform, k):
+            pts, counts, valid = collect_grasp_clouds(
+                grasp[None], pc, transform, k,
+                num_out=num_points, min_point_limit=min_point_limit)
+            pts = pts[0]
+            # camera at origin of the gripper frame approach axis (-x);
+            # orientation consistency is what matters for the normal images
+            cam = jnp.asarray([-1.0, 0.0, 0.0], pts.dtype)
+            normals = estimate_normals_knn(pts, cam, k=knn_k,
+                                           chunk=min(256, num_points))
+            width = grasp[6]
+            feats = gpd_projection_features(
+                pts, normals, jnp.ones((num_points,), bool), width,
+                project_chann=project_chann)
+            return feats, valid[0]
+
+        feats, crop_valid = jax.vmap(features_one)(grasps, clouds, transforms,
+                                                   keys)
+        weights = label_weights * crop_valid.astype(label_weights.dtype)
+
+        def loss_fn(params):
+            logp = apply_gpd_classifier(params, feats, train=True)
+            return masked_nll_loss(logp, labels, weights), logp
+
+        (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        pred = jnp.argmax(logp, axis=-1)
+        denom = jnp.maximum(jnp.sum(weights), 1.0)
+        acc = jnp.sum((pred == labels) * weights) / denom
+        metrics = {"loss": loss, "acc": acc, "valid_frac": jnp.mean(weights)}
+        return TrainState(new_params, state.bn_state, new_opt,
+                          state.step + 1), metrics
+
+    return train_step
