@@ -1,0 +1,53 @@
+"""Bandit/learning utilities (reference: dex-net/src/dexnet/learning/).
+
+Host-side adaptive-sampling machinery; the expensive objective evaluations
+(grasp quality) run as batched device calls. The main-path consumer is
+robust grasp quality's Monte-Carlo mean (GaussianUniformAllocationMean,
+reference robust_grasp_quality.py:126-166).
+"""
+
+from .analysis import ClassificationResult, ConfusionMatrix, RegressionResult
+from .models import BernoulliModel, BetaBernoulliModel, GaussianModel
+from .objectives import (
+    MinimizationObjective,
+    Objective,
+    RandomBinaryObjective,
+    RandomContinuousObjective,
+)
+from .policies import (
+    MaxDiscreteSelectionPolicy,
+    ThompsonSelectionPolicy,
+    UniformSelectionPolicy,
+    UCBSelectionPolicy,
+)
+from .samplers import (
+    AdaptiveSamplingResult,
+    BetaBernoulliBandit,
+    DiscreteAdaptiveSampler,
+    GaussianBandit,
+    GaussianUniformAllocationMean,
+    ThompsonSampling,
+    UniformAllocationMean,
+)
+from .termination import (
+    AndTerminationCondition,
+    MaxIterTerminationCondition,
+    OrTerminationCondition,
+    ThresholdTerminationCondition,
+)
+from .tensor_dataset import Tensor, TensorDatapoint, TensorDataset
+
+__all__ = [
+    "ClassificationResult", "ConfusionMatrix", "RegressionResult",
+    "BernoulliModel", "BetaBernoulliModel", "GaussianModel",
+    "MinimizationObjective", "Objective", "RandomBinaryObjective",
+    "RandomContinuousObjective",
+    "MaxDiscreteSelectionPolicy", "ThompsonSelectionPolicy",
+    "UniformSelectionPolicy", "UCBSelectionPolicy",
+    "AdaptiveSamplingResult", "BetaBernoulliBandit", "DiscreteAdaptiveSampler",
+    "GaussianBandit", "GaussianUniformAllocationMean", "ThompsonSampling",
+    "UniformAllocationMean",
+    "AndTerminationCondition", "MaxIterTerminationCondition",
+    "OrTerminationCondition", "ThresholdTerminationCondition",
+    "Tensor", "TensorDatapoint", "TensorDataset",
+]

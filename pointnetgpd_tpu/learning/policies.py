@@ -1,0 +1,55 @@
+"""Candidate-selection policies for discrete bandits (reference:
+dex-net/src/dexnet/learning/discrete_selection_policies.py:38-148)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class DiscreteSelectionPolicy:
+    def __init__(self):
+        self.model_ = None
+
+    def set_model(self, model):
+        self.model_ = model
+
+    def choose_next(self, rng=None):
+        raise NotImplementedError
+
+
+class UniformSelectionPolicy(DiscreteSelectionPolicy):
+    """Round-robin / uniform-random allocation."""
+
+    def choose_next(self, rng=None):
+        rng = rng or np.random
+        return int(rng.randint(self.model_.num_vars()))
+
+
+class MaxDiscreteSelectionPolicy(DiscreteSelectionPolicy):
+    """Greedy: candidate with the highest predicted mean."""
+
+    def choose_next(self, rng=None):
+        means, _ = self.model_.predict_all()
+        return int(np.argmax(means))
+
+
+class ThompsonSelectionPolicy(DiscreteSelectionPolicy):
+    """Sample from the posterior, pick the argmax."""
+
+    def choose_next(self, rng=None):
+        return int(np.argmax(self.model_.sample(rng)))
+
+
+class UCBSelectionPolicy(DiscreteSelectionPolicy):
+    """Upper confidence bound: mean + beta * std. Also stands in for the
+    reference's table-driven BetaBernoulliGittinsIndex98Policy
+    (discrete_selection_policies.py — the hardcoded 1998 Gittins table);
+    UCB is the standard index approximation (documented deviation)."""
+
+    def __init__(self, beta: float = 2.0):
+        super().__init__()
+        self.beta = beta
+
+    def choose_next(self, rng=None):
+        means, variances = self.model_.predict_all()
+        return int(np.argmax(means + self.beta * np.sqrt(variances)))

@@ -1,0 +1,134 @@
+"""Discrete adaptive samplers / multi-armed bandits (reference:
+dex-net/src/dexnet/learning/discrete_adaptive_samplers.py:125-503).
+
+``GaussianUniformAllocationMean`` is the main-path consumer: robust grasp
+quality's MC mean over perturbation samples (robust_grasp_quality.py:158)."""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .models import BetaBernoulliModel, GaussianModel
+from .policies import (
+    MaxDiscreteSelectionPolicy,
+    ThompsonSelectionPolicy,
+    UCBSelectionPolicy,
+    UniformSelectionPolicy,
+)
+
+
+@dataclass
+class AdaptiveSamplingResult:
+    """(discrete_adaptive_samplers.py:42-122 analogue)."""
+
+    best_candidates: list
+    best_pred_means: np.ndarray
+    best_pred_vars: np.ndarray
+    total_time: float
+    checkpt_times: list
+    iters: list
+    indices: list
+    vals: list
+    models: list
+
+
+class DiscreteAdaptiveSampler:
+    """Generic sample -> evaluate -> update loop
+    (discrete_maximize, discrete_adaptive_samplers.py:125-247)."""
+
+    def __init__(self, objective, candidates, model, selection_policy):
+        self.objective_ = objective
+        self.candidates_ = list(candidates)
+        self.model_ = model
+        self.selection_policy_ = selection_policy
+        self.selection_policy_.set_model(model)
+
+    def discrete_maximize(self, termination_condition, snapshot_rate: int = 100,
+                          rng=None):
+        rng = rng or np.random.RandomState()
+        start = time.time()
+        k = 0
+        cur_val = prev_val = None
+        iters, indices, vals, models, times = [], [], [], [], []
+        while not termination_condition(k, cur_val=cur_val, prev_val=prev_val,
+                                        model=self.model_):
+            idx = self.selection_policy_.choose_next(rng)
+            prev_val = cur_val
+            cur_val = self.objective_(self.candidates_[idx])
+            self.model_.update(idx, cur_val)
+            if k % snapshot_rate == 0:
+                models.append(self.model_.snapshot())
+                times.append(time.time() - start)
+                iters.append(k)
+            indices.append(idx)
+            vals.append(cur_val)
+            k += 1
+        models.append(self.model_.snapshot())
+        times.append(time.time() - start)
+        iters.append(k)
+
+        best_idx, best_means, best_vars = self.model_.max_prediction()
+        best_candidates = [self.candidates_[int(i)] for i in best_idx]
+        return AdaptiveSamplingResult(
+            best_candidates, best_means, best_vars, time.time() - start,
+            times, iters, indices, vals, models)
+
+
+# ---------------------------------------------------------------------------
+# Beta-Bernoulli bandits (discrete_adaptive_samplers.py:249-306)
+# ---------------------------------------------------------------------------
+
+class BetaBernoulliBandit(DiscreteAdaptiveSampler):
+    def __init__(self, objective, candidates, policy, alpha_prior=1.0,
+                 beta_prior=1.0):
+        model = BetaBernoulliModel(len(candidates), alpha_prior, beta_prior)
+        super().__init__(objective, candidates, model, policy)
+
+
+class UniformAllocationMean(BetaBernoulliBandit):
+    def __init__(self, objective, candidates, alpha_prior=1.0, beta_prior=1.0):
+        super().__init__(objective, candidates, UniformSelectionPolicy(),
+                         alpha_prior, beta_prior)
+
+
+class ThompsonSampling(BetaBernoulliBandit):
+    def __init__(self, objective, candidates, alpha_prior=1.0, beta_prior=1.0):
+        super().__init__(objective, candidates, ThompsonSelectionPolicy(),
+                         alpha_prior, beta_prior)
+
+
+class GittinsIndex98(BetaBernoulliBandit):
+    """UCB stand-in for the reference's 1998 Gittins-table policy
+    (documented deviation in policies.UCBSelectionPolicy)."""
+
+    def __init__(self, objective, candidates, alpha_prior=1.0, beta_prior=1.0):
+        super().__init__(objective, candidates, UCBSelectionPolicy(),
+                         alpha_prior, beta_prior)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian bandits (discrete_adaptive_samplers.py:308-361)
+# ---------------------------------------------------------------------------
+
+class GaussianBandit(DiscreteAdaptiveSampler):
+    def __init__(self, objective, candidates, policy):
+        model = GaussianModel(len(candidates))
+        super().__init__(objective, candidates, model, policy)
+
+
+class GaussianUniformAllocationMean(GaussianBandit):
+    def __init__(self, objective, candidates):
+        super().__init__(objective, candidates, UniformSelectionPolicy())
+
+
+class GaussianThompsonSampling(GaussianBandit):
+    def __init__(self, objective, candidates):
+        super().__init__(objective, candidates, ThompsonSelectionPolicy())
+
+
+class GaussianUCBSampling(GaussianBandit):
+    def __init__(self, objective, candidates):
+        super().__init__(objective, candidates, UCBSelectionPolicy())

@@ -1,0 +1,137 @@
+"""Learning-layer tests, modeled on the reference's suite
+(dex-net/test/learning_test.py: bandits must converge to the best candidate)
+plus tensor-dataset round-trips and robust quality MC."""
+
+import numpy as np
+import pytest
+import jax
+
+from pointnetgpd_tpu.learning import (
+    ClassificationResult,
+    ConfusionMatrix,
+    GaussianUniformAllocationMean,
+    MaxIterTerminationCondition,
+    RandomBinaryObjective,
+    RandomContinuousObjective,
+    TensorDataset,
+    ThompsonSampling,
+    UniformAllocationMean,
+)
+
+MAX_ITERS = 4000
+
+
+def _best_candidate_test(sampler_cls, objective, candidates, best_value):
+    sampler = sampler_cls(objective, candidates)
+    result = sampler.discrete_maximize(
+        MaxIterTerminationCondition(MAX_ITERS), snapshot_rate=1000,
+        rng=np.random.RandomState(0))
+    assert best_value in result.best_candidates
+    assert len(result.models) >= 2  # snapshots recorded
+
+
+class TestBandits:
+    def test_uniform_allocation_converges(self):
+        """(learning_test.py:45 idea): uniform allocation finds the candidate
+        with the highest Bernoulli success probability."""
+        rng = np.random.RandomState(0)
+        candidates = list(rng.rand(20) * 0.7)
+        candidates.append(0.99)
+        _best_candidate_test(UniformAllocationMean,
+                             RandomBinaryObjective(np.random.RandomState(1)),
+                             candidates, 0.99)
+
+    def test_thompson_sampling_converges(self):
+        """(learning_test.py:68)."""
+        rng = np.random.RandomState(2)
+        candidates = list(rng.rand(20) * 0.7)
+        candidates.append(0.99)
+        _best_candidate_test(ThompsonSampling,
+                             RandomBinaryObjective(np.random.RandomState(3)),
+                             candidates, 0.99)
+
+    def test_gaussian_uniform_allocation_converges(self):
+        """(learning_test.py:92): continuous objective, Gaussian model."""
+        rng = np.random.RandomState(4)
+        candidates = list(rng.rand(20) * 0.5)
+        candidates.append(2.0)
+        _best_candidate_test(
+            GaussianUniformAllocationMean,
+            RandomContinuousObjective(0.1, np.random.RandomState(5)),
+            candidates, 2.0)
+
+    def test_gaussian_model_statistics(self):
+        from pointnetgpd_tpu.learning import GaussianModel
+
+        m = GaussianModel(2)
+        vals = [1.0, 2.0, 3.0]
+        for v in vals:
+            m.update(0, v)
+        np.testing.assert_allclose(m.means[0], 2.0)
+        np.testing.assert_allclose(m.sample_vars[0], np.var(vals))
+        np.testing.assert_allclose(m.variances[0], np.var(vals) / 3)
+
+
+class TestAnalysis:
+    def test_confusion_matrix(self):
+        cm = ConfusionMatrix(3)
+        cm.update([0, 1, 2, 1], [0, 1, 2, 2])
+        assert cm.accuracy == 0.75
+        assert cm.recall(2) == 0.5
+        assert cm.precision(1) == 0.5
+
+    def test_classification_result(self):
+        probs = np.array([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4]])
+        res = ClassificationResult(probs, [0, 1, 1])
+        assert res.accuracy == pytest.approx(2 / 3)
+        assert res.top_k_accuracy(2) == 1.0
+
+
+class TestTensorDataset:
+    def test_roundtrip_across_chunks(self, tmp_path):
+        config = {"image": {"shape": [4, 4], "dtype": "float32"},
+                  "label": {"shape": [], "dtype": "int64"}}
+        ds = TensorDataset(str(tmp_path / "ds"), config, datapoints_per_file=3)
+        rng = np.random.RandomState(0)
+        data = []
+        for i in range(8):
+            dp = ds.datapoint_template()
+            dp["image"] = rng.rand(4, 4).astype(np.float32)
+            dp["label"] = np.int64(i)
+            data.append(dp)
+            ds.add(dp)
+        ds.flush()
+        assert len(ds) == 8
+        # reload from disk
+        ds2 = TensorDataset.open(str(tmp_path / "ds"))
+        assert len(ds2) == 8
+        for i in (0, 3, 7):
+            got = ds2.datapoint(i)
+            np.testing.assert_array_equal(got["image"], data[i]["image"])
+            assert got["label"] == i
+
+
+class TestRobustQuality:
+    def test_expected_quality_on_sphere(self):
+        """Robust MC mean of the canny metric on sphere grasps: centered
+        grasps must beat strongly offset ones, std finite."""
+        from pointnetgpd_tpu.geometry.sdf import make_sdf
+        from pointnetgpd_tpu.grasping.robust_quality import expected_quality
+
+        DIM, RES, R = 40, 0.005, 0.05
+        origin = -RES * (DIM - 1) / 2 * np.ones(3)
+        ii, jj, kk = np.meshgrid(*(np.arange(DIM),) * 3, indexing="ij")
+        pts = origin + RES * np.stack([ii, jj, kk], axis=-1)
+        sphere = make_sdf(np.linalg.norm(pts, axis=-1) - R, origin, RES)
+
+        good = np.zeros(10, np.float32)
+        good[3:6] = [0, 1, 0]
+        good[6] = 0.15
+        configs = good[None]
+        means, stds = expected_quality(
+            sphere, configs, np.zeros(3), friction_coef=0.5,
+            num_quality_samples=8, num_samples_loa=48,
+            rng=np.random.RandomState(0))
+        assert means.shape == (1,) and stds.shape == (1,)
+        assert means[0] > 0
+        assert np.isfinite(stds[0])
