@@ -25,6 +25,10 @@ REF_ROOT = "/root/reference/PointNetGPD"
 
 
 def bench_tpu():
+    from pointnetgpd_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

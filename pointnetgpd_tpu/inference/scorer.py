@@ -78,6 +78,34 @@ def score_cloud_batch(params, state, clouds, valid, key, *,
     return pred, prob, votes
 
 
+@functools.partial(jax.jit, static_argnames=("dual", "num_points", "repeat",
+                                              "min_points"))
+def score_candidates_fused(params, state, pc, cand_frames, valid_in,
+                           hand_depth, width, key, *, dual: bool = False,
+                           num_points: int = 500, repeat: int = 1,
+                           min_points: int = 50):
+    """The ENTIRE per-frame scoring pipeline as one device program: crop +
+    resample + forward + vote + rank — one dispatch per scene instead of the
+    reference's per-candidate loop (kinect2grasp.py:454-497) or even two
+    separate jit calls. Returns (pred, prob, counts, valid, order) where
+    ``order`` ranks candidates by best-class probability descending with
+    invalid/bad candidates pushed to the end."""
+    k_crop, k_score = jax.random.split(key)
+    clouds, counts, valid = collect_candidate_clouds(
+        cand_frames[:, 0], cand_frames[:, 1], cand_frames[:, 2],
+        cand_frames[:, 3], pc, hand_depth, width, k_crop,
+        num_out=num_points, min_point_limit=min_points)
+    valid = valid & valid_in
+    pred, prob, _ = score_cloud_batch(
+        params, state, clouds, valid, k_score, dual=dual,
+        num_points=num_points, repeat=repeat)
+    best_class = prob.shape[-1] - 1
+    score = prob[:, best_class]
+    good = (pred == best_class) & valid
+    order = jnp.argsort(jnp.where(good, -score, jnp.inf))
+    return pred, prob, counts, valid, good, order
+
+
 @dataclass
 class GraspScorer:
     """Stateful wrapper: loaded model + padding policy for stable jit shapes.
@@ -152,28 +180,26 @@ class GraspScorer:
         cand_p[g:, 1] = [1, 0, 0]
         cand_p[g:, 2] = [0, 1, 0]
         cand_p[g:, 3] = [0, 0, 1]
+        valid_in = np.zeros((g_pad,), bool)
+        valid_in[:g] = True
 
-        key = jax.random.PRNGKey(seed)
-        k_crop, k_score = jax.random.split(key)
-        clouds, counts, valid = collect_candidate_clouds(
-            jnp.asarray(cand_p[:, 0]), jnp.asarray(cand_p[:, 1]),
-            jnp.asarray(cand_p[:, 2]), jnp.asarray(cand_p[:, 3]),
-            jnp.asarray(pc, dtype=jnp.float32),
-            jnp.float32(hand_depth), jnp.float32(width), k_crop,
-            num_out=self.num_points, min_point_limit=self.min_points,
-        )
-        pred, prob, _ = score_cloud_batch(
-            self.params, self.state, clouds, valid, k_score,
+        pred, prob, counts, valid, good, order = score_candidates_fused(
+            self.params, self.state, jnp.asarray(pc, dtype=jnp.float32),
+            jnp.asarray(cand_p), jnp.asarray(valid_in),
+            jnp.float32(hand_depth), jnp.float32(width),
+            jax.random.PRNGKey(seed),
             dual=self.dual, num_points=self.num_points, repeat=self.repeat,
+            min_points=self.min_points,
         )
         pred = np.asarray(pred)[:g]
         prob = np.asarray(prob)[:g]
         counts = np.asarray(counts)[:g]
         valid = np.asarray(valid)[:g]
+        good = np.asarray(good)[:g]
+        order = np.asarray(order)
+        order = order[(order < g) & good[np.minimum(order, g - 1)]][:g]
 
         score_value = prob[:, self._best_class]
-        good = np.where((pred == self._best_class) & valid)[0]
-        order = good[np.argsort(-score_value[good])]
         return {
             "pred": pred,
             "prob": prob,
