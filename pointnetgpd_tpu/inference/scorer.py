@@ -183,7 +183,7 @@ class GraspScorer:
         valid_in = np.zeros((g_pad,), bool)
         valid_in[:g] = True
 
-        pred, prob, counts, valid, good, order = score_candidates_fused(
+        out = score_candidates_fused(
             self.params, self.state, jnp.asarray(pc, dtype=jnp.float32),
             jnp.asarray(cand_p), jnp.asarray(valid_in),
             jnp.float32(hand_depth), jnp.float32(width),
@@ -191,12 +191,14 @@ class GraspScorer:
             dual=self.dual, num_points=self.num_points, repeat=self.repeat,
             min_points=self.min_points,
         )
-        pred = np.asarray(pred)[:g]
-        prob = np.asarray(prob)[:g]
-        counts = np.asarray(counts)[:g]
-        valid = np.asarray(valid)[:g]
-        good = np.asarray(good)[:g]
-        order = np.asarray(order)
+        # one device_get for all outputs: device->host transfers dominate the
+        # per-scene latency on tunneled TPUs, so fetch the whole tuple at once
+        pred, prob, counts, valid, good, order = jax.device_get(out)
+        pred = pred[:g]
+        prob = prob[:g]
+        counts = counts[:g]
+        valid = valid[:g]
+        good = good[:g]
         order = order[(order < g) & good[np.minimum(order, g - 1)]][:g]
 
         score_value = prob[:, self._best_class]
