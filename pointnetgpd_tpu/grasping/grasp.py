@@ -105,6 +105,72 @@ def t_grasp_obj(config):
     return t
 
 
+def center_from_endpoints(g1, g2):
+    """(grasp.py:278-282)."""
+    return 0.5 * (g1 + g2)
+
+
+def axis_from_endpoints(g1, g2):
+    """(grasp.py:284-290)."""
+    axis = g2 - g1
+    n = jnp.linalg.norm(axis)
+    return jnp.where(n > 0, axis / jnp.maximum(n, 1e-30), axis)
+
+
+def grasp_from_endpoints(g1, g2, width=None, approach_angle=0.0,
+                         close_width=0.0):
+    """Configuration from jaw endpoints (grasp.py:298-320)."""
+    if width is None:
+        width = jnp.linalg.norm(g2 - g1)
+    return configuration_from_params(
+        center_from_endpoints(g1, g2), axis_from_endpoints(g1, g2), width,
+        angle=approach_angle, min_width=close_width)
+
+
+def grasp_angles_from_stp_z(config, r_stp_obj):
+    """Angles of the grasp frame vs a stable pose's table normal
+    (grasp.py:401-433): (axis angle psi, |approach| angle phi, nu)."""
+    rot = rotated_full_axis(config[3:6], config[7])  # grasp axes in obj coords
+    rot_stp = r_stp_obj @ rot
+    stp_z = jnp.array([0.0, 0.0, 1.0], config.dtype)
+    psi = jnp.arccos(jnp.clip(stp_z @ rot_stp[:, 1], -1.0, 1.0))
+    phi = jnp.arccos(jnp.clip(jnp.abs(stp_z @ rot_stp[:, 0]), -1.0, 1.0))
+    nu = stp_z @ rot_stp[:, 2]
+    return psi, phi, nu
+
+
+def _angle_aligned_with_table(axis, angle_ref_frame_col, r_table_rows):
+    """Solve the approach angle that aligns the grasp x-axis with the table
+    plane — the core of parallel_table/perpendicular_table
+    (grasp.py:715-836). Returns the optimal rotation angle about the grasp
+    y-axis minimizing the z-component (parallel) of the approach axis."""
+    # approach(theta) = U @ R_y(theta) @ e_x where U = unrotated_full_axis
+    u = unrotated_full_axis(axis)
+    table_z = r_table_rows[2]
+    # z-comp(theta) = a cos(theta) + b sin(theta), a = z.(u e_x), b = z.(u e_z)
+    a = table_z @ u[:, 0]
+    b = table_z @ u[:, 2]
+    return a, b
+
+
+def parallel_table(config, r_table_rows):
+    """Approach angle making the approach axis parallel to the table
+    (grasp.py:765-782): minimize |z-component|."""
+    a, b = _angle_aligned_with_table(config[3:6], None, r_table_rows)
+    # a cos t + b sin t = 0 -> t = atan2(-a, b)
+    theta = jnp.arctan2(-a, b)
+    return config.at[7].set(theta)
+
+
+def perpendicular_table(config, r_table_rows):
+    """Approach angle pointing the approach axis INTO the table (maximally
+    downward, grasp.py:815-836): minimize the z-component (signed)."""
+    a, b = _angle_aligned_with_table(config[3:6], None, r_table_rows)
+    # minimize a cos t + b sin t -> t = atan2(-b, -a)
+    theta = jnp.arctan2(-b, -a)
+    return config.at[7].set(theta)
+
+
 # ---------------------------------------------------------------------------
 # Contact finding
 # ---------------------------------------------------------------------------

@@ -341,6 +341,63 @@ def force_closure_qp(g, wrench_norm_thresh: float = DEFAULT_WRENCH_NORM_THRESH,
     return (min_norm < wrench_norm_thresh).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Spectral wrench-space metrics (reference: quality.py:441-525)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def min_singular(g):
+    """Minimum singular value of the grasp map (quality.py:441-465).
+    g: (6, M) or (M, d) wrench basis — uses the 6xM orientation like the
+    reference (rows = wrench dims)."""
+    g = jnp.asarray(g)
+    s = jnp.linalg.svd(g, compute_uv=False)
+    return s[-1]
+
+
+@jax.jit
+def wrench_volume(g, k: float = 1.0):
+    """Volume of the grasp-map ellipsoid: k * sqrt(prod sigma_i)
+    (quality.py:467-495)."""
+    s = jnp.linalg.svd(jnp.asarray(g), compute_uv=False)
+    return k * jnp.sqrt(jnp.prod(s))
+
+
+@jax.jit
+def grasp_isotropy(g):
+    """sigma_min / sigma_max of the grasp map (quality.py:497-525);
+    0 when degenerate."""
+    s = jnp.linalg.svd(jnp.asarray(g), compute_uv=False)
+    ratio = s[-1] / jnp.maximum(s[0], 1e-30)
+    return jnp.where(s[0] > 0, ratio, 0.0)
+
+
+def partial_closure(g_per_finger, target_wrench, force_limit,
+                    num_fingers: int, wrench_norm_thresh: float = 1e-3,
+                    wrench_regularizer: float = DEFAULT_WRENCH_REGULARIZER):
+    """Can the contacts resist a specific wrench under per-finger force
+    limits? 1/0 (quality.py:322-375). g_per_finger: (M, d) rows grouped by
+    finger (M divisible by num_fingers)."""
+    ok, _ = wrench_in_positive_span(
+        jnp.asarray(g_per_finger), jnp.asarray(target_wrench), force_limit,
+        num_fingers=num_fingers, wrench_norm_thresh=wrench_norm_thresh,
+        wrench_regularizer=wrench_regularizer)
+    return jnp.asarray(ok, jnp.int32)
+
+
+def wrench_resistance(g_per_finger, target_wrench, force_limit,
+                      num_fingers: int, wrench_norm_thresh: float = 1e-3,
+                      wrench_regularizer: float = DEFAULT_WRENCH_REGULARIZER,
+                      finger_force_eps: float = 1e-9):
+    """Inverse-norm of the finger forces needed to resist the target wrench;
+    0 when it cannot be resisted (quality.py:377-439)."""
+    ok, lam_norm = wrench_in_positive_span(
+        jnp.asarray(g_per_finger), jnp.asarray(target_wrench), force_limit,
+        num_fingers=num_fingers, wrench_norm_thresh=wrench_norm_thresh,
+        wrench_regularizer=wrench_regularizer)
+    return jnp.where(ok, 1.0 / jnp.maximum(lam_norm, finger_force_eps), 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("num_iters", "num_fingers"))
 def wrench_in_positive_span(wrench_basis, target_wrench, force_limit,
                             num_fingers: int = 1,

@@ -376,6 +376,30 @@ def gpg_sample_candidates(
     return GpgCandidates(frames.reshape(-1, 5, 3), valid.reshape(-1))
 
 
+def sample_grasps_stable_poses(sdf: sdf_lib.SdfGrid, key, stable_poses,
+                               *, max_width: float, num_wanted: int = 25,
+                               max_rounds: int = 8, **antipodal_kwargs):
+    """Antipodal grasps aligned to each stable pose
+    (generate_grasps_stable_poses, grasp_sampler.py:114-151): sample, then
+    set each grasp's approach angle so the hand approaches perpendicular to
+    the table of that pose. Returns {pose_index: (N, 10) configs}."""
+    import numpy as _np
+
+    from .grasp import perpendicular_table
+
+    fn = lambda k: antipodal_sample_grasps(sdf, k, max_width=max_width,
+                                           **antipodal_kwargs)
+    configs, _, _ = sample_until(fn, key, num_wanted, max_rounds=max_rounds)
+    out = {}
+    for i, pose in enumerate(stable_poses):
+        r = jnp.asarray(_np.asarray(pose["r"] if isinstance(pose, dict)
+                                    else pose.r), jnp.float32)
+        aligned = jax.vmap(lambda c: perpendicular_table(c, r))(
+            jnp.asarray(configs, jnp.float32))
+        out[i] = _np.asarray(aligned)
+    return out
+
+
 def _sdf_surface_points_and_normals(sdf: sdf_lib.SdfGrid, max_points: int = 2048,
                                     key=None):
     """Surface points (world) + outward normals from an SDF, for the

@@ -1,0 +1,139 @@
+"""Spectral quality metrics, partial closure/wrench resistance wrappers,
+grasp endpoint/table-alignment math, stable-pose-aligned sampling."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pointnetgpd_tpu.grasping.quality import (
+    grasp_isotropy,
+    min_singular,
+    partial_closure,
+    wrench_resistance,
+    wrench_volume,
+)
+
+
+class TestSpectralMetrics:
+    def test_min_singular_identity(self):
+        g = jnp.eye(6)
+        np.testing.assert_allclose(float(min_singular(g)), 1.0, atol=1e-6)
+
+    def test_isotropy(self):
+        g = jnp.diag(jnp.asarray([4.0, 2.0, 1.0, 1.0, 1.0, 1.0]))
+        np.testing.assert_allclose(float(grasp_isotropy(g)), 0.25, atol=1e-6)
+        assert float(grasp_isotropy(jnp.zeros((6, 4)))) == 0.0
+
+    def test_wrench_volume(self):
+        g = jnp.diag(jnp.asarray([2.0, 2.0, 2.0, 2.0, 2.0, 2.0]))
+        np.testing.assert_allclose(float(wrench_volume(g)),
+                                   np.sqrt(2.0 ** 6), atol=1e-5)
+
+    def test_partial_closure_and_resistance(self):
+        basis = jnp.asarray(np.eye(6)[:3])  # e1, e2, e3 per one finger
+        target = jnp.asarray([0.4, 0.0, 0.0, 0.0, 0.0, 0.0])
+        assert int(partial_closure(basis, target, 10.0, 1)) == 1
+        assert int(partial_closure(basis, -target, 10.0, 1)) == 0
+        r = float(wrench_resistance(basis, target, 10.0, 1))
+        assert r > 0
+        assert float(wrench_resistance(basis, -target, 10.0, 1)) == 0.0
+
+
+class TestGraspFrameExtras:
+    def test_grasp_from_endpoints(self):
+        from pointnetgpd_tpu.grasping.grasp import (
+            endpoints,
+            grasp_from_endpoints,
+        )
+
+        g1 = jnp.asarray([0.0, -0.04, 0.0])
+        g2 = jnp.asarray([0.0, 0.04, 0.0])
+        cfg = grasp_from_endpoints(g1, g2)
+        e1, e2 = endpoints(cfg)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(g1), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(e2), np.asarray(g2), atol=1e-7)
+        np.testing.assert_allclose(float(cfg[6]), 0.08, atol=1e-7)
+
+    def test_perpendicular_table_points_down(self):
+        from pointnetgpd_tpu.grasping.grasp import (
+            perpendicular_table,
+            rotated_full_axis,
+        )
+
+        rng = np.random.RandomState(0)
+        r_table = jnp.eye(3)  # table frame == world, z up
+        for _ in range(20):
+            axis = rng.randn(3)
+            axis /= np.linalg.norm(axis)
+            cfg = jnp.asarray(np.concatenate([np.zeros(3), axis,
+                                              [0.08, 0.3, 0, 0]]),
+                              jnp.float32)
+            aligned = perpendicular_table(cfg, r_table)
+            approach = np.asarray(
+                rotated_full_axis(aligned[3:6], aligned[7]))[:, 0]
+            # the optimized angle minimizes the z-component: check against a
+            # dense sweep
+            best = min(
+                np.asarray(rotated_full_axis(cfg[3:6], jnp.float32(t)))[2, 0]
+                for t in np.linspace(-np.pi, np.pi, 721))
+            assert approach[2] <= best + 1e-3
+
+    def test_parallel_table_zeroes_z(self):
+        from pointnetgpd_tpu.grasping.grasp import (
+            parallel_table,
+            rotated_full_axis,
+        )
+
+        rng = np.random.RandomState(1)
+        for _ in range(20):
+            axis = rng.randn(3)
+            axis /= np.linalg.norm(axis)
+            cfg = jnp.asarray(np.concatenate([np.zeros(3), axis,
+                                              [0.08, 0.0, 0, 0]]),
+                              jnp.float32)
+            aligned = parallel_table(cfg, jnp.eye(3))
+            approach = np.asarray(
+                rotated_full_axis(aligned[3:6], aligned[7]))[:, 0]
+            assert abs(approach[2]) < 1e-5
+
+    def test_grasp_angles_from_stp(self):
+        from pointnetgpd_tpu.grasping.grasp import grasp_angles_from_stp_z
+
+        cfg = jnp.asarray(np.concatenate([np.zeros(3), [0, 1.0, 0],
+                                          [0.08, 0.0, 0, 0]]), jnp.float32)
+        psi, phi, nu = grasp_angles_from_stp_z(cfg, jnp.eye(3))
+        # axis = +y: angle vs z is 90 deg
+        np.testing.assert_allclose(float(psi), np.pi / 2, atol=1e-5)
+        assert 0 <= float(phi) <= np.pi / 2
+
+
+class TestStablePoseSampling:
+    def test_aligned_grasps_perpendicular(self):
+        from pointnetgpd_tpu.geometry.sdf import make_sdf
+        from pointnetgpd_tpu.grasping.grasp import rotated_full_axis
+        from pointnetgpd_tpu.grasping.samplers import (
+            sample_grasps_stable_poses,
+        )
+
+        DIM, RES, R = 40, 0.005, 0.06
+        origin = -RES * (DIM - 1) / 2 * np.ones(3)
+        ii, jj, kk = np.meshgrid(*(np.arange(DIM),) * 3, indexing="ij")
+        pts = origin + RES * np.stack([ii, jj, kk], axis=-1)
+        sphere = make_sdf(np.linalg.norm(pts, axis=-1) - R, origin, RES)
+
+        poses = [{"r": np.eye(3), "x0": np.zeros(3), "p": 1.0}]
+        out = sample_grasps_stable_poses(
+            sphere, jax.random.PRNGKey(0), poses, max_width=0.18,
+            num_wanted=4, friction_coef=2.0, num_attempts=32,
+            num_samples_loa=48)
+        configs = out[0]
+        assert len(configs) >= 1
+        for cfg in configs:
+            approach = np.asarray(rotated_full_axis(
+                jnp.asarray(cfg[3:6]), jnp.float32(cfg[7])))[:, 0]
+            # perpendicular alignment: approach z-component at its sweep min
+            sweep = [np.asarray(rotated_full_axis(
+                jnp.asarray(cfg[3:6]), jnp.float32(t)))[2, 0]
+                for t in np.linspace(-np.pi, np.pi, 181)]
+            assert approach[2] <= min(sweep) + 1e-3
