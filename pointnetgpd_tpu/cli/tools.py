@@ -111,6 +111,33 @@ def show_clouds(clouds_glob: str, out_png: str, obj_path: str | None = None,
     return out_png
 
 
+def visualize_gqcnn_dataset(dataset_dir: str, out_png: str,
+                            num_samples: int = 16, seed: int = 0):
+    """Grid of grasp-centric depth crops with their metrics
+    (reference: dex-net/tools/visualize_gqcnn_dataset.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..learning.tensor_dataset import TensorDataset
+
+    ds = TensorDataset.open(dataset_dir)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(ds), min(num_samples, len(ds)), replace=False)
+    cols = 4
+    rows = (len(idx) + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows))
+    for ax, i in zip(np.atleast_1d(axes).ravel(), idx):
+        dp = ds.datapoint(int(i))
+        ax.imshow(dp["depth_ims_tf_table"][..., 0], cmap="gray")
+        ax.set_title(f"q={float(dp['metrics']):.3f}", fontsize=8)
+        ax.axis("off")
+    fig.savefig(out_png, dpi=100)
+    print(f"{len(idx)} samples from {len(ds)} -> {out_png}")
+    return out_png
+
+
 def main(argv=None):
     import argparse
 
@@ -123,11 +150,15 @@ def main(argv=None):
     c3 = sub.add_parser("show-clouds")
     c3.add_argument("clouds_glob"), c3.add_argument("out")
     c3.add_argument("--obj", default=None)
+    c4 = sub.add_parser("visualize-gqcnn")
+    c4.add_argument("dataset_dir"), c4.add_argument("out")
     args = p.parse_args(argv)
     if args.cmd == "compare-normals":
         compare_normals(args.sdf, args.out)
     elif args.cmd == "show-grasps":
         show_grasp_file(args.grasp_npy, args.obj, args.out)
+    elif args.cmd == "visualize-gqcnn":
+        visualize_gqcnn_dataset(args.dataset_dir, args.out)
     else:
         show_clouds(args.clouds_glob, args.out, args.obj)
 

@@ -227,6 +227,75 @@ class Hdf5Dataset:
         del self._objects[key][K.GRASPS_KEY][gripper]
 
     # ------------------------------------------------------------------
+    def store_convex_pieces(self, key: str, pieces, force_overwrite=False):
+        """(database.py:531-563): store convex-decomposition piece meshes."""
+        obj = self._objects[key]
+        if K.CONVEX_PIECES_KEY in obj:
+            if not force_overwrite:
+                raise ValueError(f"convex pieces exist for {key}")
+            del obj[K.CONVEX_PIECES_KEY]
+        g = obj.create_group(K.CONVEX_PIECES_KEY)
+        g.attrs["num_pieces"] = len(pieces)
+        for i, piece in enumerate(pieces):
+            pg = g.create_group(f"piece_{i}")
+            pg.create_dataset(K.MESH_VERTICES_KEY,
+                              data=np.asarray(piece.vertices))
+            pg.create_dataset(K.MESH_TRIANGLES_KEY,
+                              data=np.asarray(piece.triangles))
+
+    def convex_pieces(self, key: str):
+        """(database.py:760-788)."""
+        g = self._objects[key][K.CONVEX_PIECES_KEY]
+        return [
+            Mesh3D(np.asarray(g[f"piece_{i}"][K.MESH_VERTICES_KEY]),
+                   np.asarray(g[f"piece_{i}"][K.MESH_TRIANGLES_KEY], np.int32))
+            for i in range(int(g.attrs["num_pieces"]))
+        ]
+
+    def store_rendered_images(self, key: str, images, stable_pose_id: str = "",
+                              image_type: str = "depth",
+                              force_overwrite=False):
+        """Rendered image stacks per object[/stable pose]
+        (database.py:340-350 accessors + hdf5_factory serializers)."""
+        obj = self._objects[key]
+        group_name = K.RENDERED_IMAGES_KEY + (
+            f"_{stable_pose_id}" if stable_pose_id else "")
+        if group_name in obj:
+            if not force_overwrite:
+                raise ValueError(f"rendered images exist for {key}")
+            del obj[group_name]
+        g = obj.create_group(group_name)
+        g.attrs["image_type"] = image_type
+        g.create_dataset("images", data=np.stack(images))
+
+    def rendered_images(self, key: str, stable_pose_id: str = ""):
+        group_name = K.RENDERED_IMAGES_KEY + (
+            f"_{stable_pose_id}" if stable_pose_id else "")
+        g = self._objects[key][group_name]
+        return np.asarray(g["images"]), str(g.attrs["image_type"])
+
+    # ------------------------------------------------------------------
+    def create_metadata(self, name: str, attrs: dict):
+        """Dataset-level metadata definitions (database.py:298-311)."""
+        if "metadata" not in self._g:
+            self._g.create_group("metadata")
+        mg = self._g["metadata"].create_group(name)
+        for k, v in attrs.items():
+            mg.attrs[k] = v
+
+    @property
+    def metadata_names(self):
+        return list(self._g["metadata"].keys()) if "metadata" in self._g else []
+
+    def object_metadata(self, key: str) -> dict:
+        """Per-object metadata values stored as attributes."""
+        obj = self._objects[key]
+        return {k: obj.attrs[k] for k in obj.attrs}
+
+    def set_object_metadata(self, key: str, name: str, value):
+        self._objects[key].attrs[name] = value
+
+    # ------------------------------------------------------------------
     def create_metric(self, metric_name: str, metric_config: dict):
         """(database.py:789-822): store a metric config as attrs."""
         mg = self._g[K.METRICS_KEY].create_group(metric_name)

@@ -1,0 +1,112 @@
+"""Contact surface windows: local SDF / depth patches at contact points.
+
+Re-design of the reference's patch features (reference:
+dex-net/src/dexnet/grasping/contacts.py:312-644 — ``surface_window_sdf``,
+``_compute_surface_window_projection`` / ``surface_window_projection``,
+``surface_information`` and the ``SurfaceWindow`` container): a tangent-plane
+grid at the contact is sampled against the SDF (sdf window) or marched along
+the contact direction to a zero crossing (projection window). Both are
+batched device programs over contacts x grid cells, replacing the per-cell
+host loops; the reference's optional bilateral denoising (skimage) is not
+reproduced (deviation — raw windows are returned; smooth downstream).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import sdf as sdf_lib
+from .quality import tangents_from_direction
+
+
+@dataclass
+class SurfaceWindow:
+    """(contacts.py:645-703): projection window + gradients + curvature."""
+
+    proj_win: np.ndarray   # (num_steps, num_steps) depths
+    grad: tuple            # (gx, gy)
+    hess_x: tuple
+    hess_y: tuple
+
+    @property
+    def proj_win_flat(self):
+        return self.proj_win.reshape(-1)
+
+
+def _tangent_grid(contact, direction, width: float, num_steps: int):
+    """Grid of world points on the tangent plane at the contact
+    (contacts.py:344-380 setup): num_steps x num_steps spanning +-width/2."""
+    d, t1, t2 = tangents_from_direction(direction)
+    scales = jnp.linspace(-width / 2.0, width / 2.0, num_steps)
+    uu, vv = jnp.meshgrid(scales, scales, indexing="ij")
+    pts = (contact[None, None, :] + uu[..., None] * t1[None, None, :]
+           + vv[..., None] * t2[None, None, :])
+    return pts.reshape(-1, 3), d
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps",))
+def surface_window_sdf(sdf: sdf_lib.SdfGrid, contacts, in_directions,
+                       width: float = 1e-2, num_steps: int = 21):
+    """SDF values on the tangent grid at each contact
+    (contacts.py:312-342). contacts/in_directions: (C, 3).
+    Returns (C, num_steps, num_steps)."""
+
+    def one(contact, direction):
+        pts, _ = _tangent_grid(contact, direction, width, num_steps)
+        grid = sdf_lib.world_to_grid(sdf, pts)
+        vals = sdf_lib.signed_distance_oob_big(sdf, grid)
+        return vals.reshape(num_steps, num_steps)
+
+    return jax.vmap(one)(contacts, in_directions)
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "num_samples"))
+def surface_window_projection(sdf: sdf_lib.SdfGrid, contacts, in_directions,
+                              width: float = 1e-2, num_steps: int = 21,
+                              max_depth: float = 1e-2,
+                              num_samples: int = 32):
+    """Projected depth window: for each tangent-grid cell, march along the
+    contact direction to the surface zero crossing and record the signed
+    depth (contacts.py:344-461). Cells with no crossing get max_depth.
+    Returns (C, num_steps, num_steps) depths in [-max_depth, max_depth]."""
+
+    def one(contact, direction):
+        pts, d = _tangent_grid(contact, direction, width, num_steps)
+        # march from -max_depth to +max_depth along d per grid cell
+        ts = jnp.linspace(-max_depth, max_depth, num_samples)
+        line = pts[:, None, :] + ts[None, :, None] * d[None, None, :]
+        grid = sdf_lib.world_to_grid(sdf, line.reshape(-1, 3))
+        vals = sdf_lib.signed_distance_oob_big(sdf, grid).reshape(
+            pts.shape[0], num_samples)
+        # first sign change along the line: linear zero crossing
+        sign_change = (vals[:, :-1] * vals[:, 1:]) <= 0
+        has = jnp.any(sign_change, axis=1)
+        first = jnp.argmax(sign_change, axis=1)
+        v0 = jnp.take_along_axis(vals, first[:, None], axis=1)[:, 0]
+        v1 = jnp.take_along_axis(vals, (first + 1)[:, None], axis=1)[:, 0]
+        t0 = ts[first]
+        dt = ts[1] - ts[0]
+        frac = v0 / jnp.where(jnp.abs(v0 - v1) < 1e-12, 1e-12, v0 - v1)
+        depth = t0 + jnp.clip(frac, 0.0, 1.0) * dt
+        depth = jnp.where(has, depth, max_depth)
+        return depth.reshape(num_steps, num_steps)
+
+    return jax.vmap(one)(contacts, in_directions)
+
+
+def surface_information(sdf: sdf_lib.SdfGrid, contact, in_direction,
+                        width: float = 2e-2, num_steps: int = 21):
+    """Full SurfaceWindow for one contact (contacts.py:564-644): projection
+    window + finite-difference gradients and Hessian rows."""
+    proj = np.asarray(surface_window_projection(
+        sdf, jnp.asarray(contact)[None], jnp.asarray(in_direction)[None],
+        width=width, num_steps=num_steps))[0]
+    gx, gy = np.gradient(proj)
+    hxx, hxy = np.gradient(gx)
+    hyx, hyy = np.gradient(gy)
+    return SurfaceWindow(proj, (gx, gy), (hxx, hxy), (hyx, hyy))

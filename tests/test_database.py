@@ -158,3 +158,28 @@ class TestMeshProcessor:
 
         assert os.path.exists(proc.obj_filename)
         assert os.path.exists(proc.sdf_filename)
+
+
+class TestExtendedStorage:
+    def test_convex_pieces_and_rendered_images(self, tmp_path):
+        db = Hdf5Database(str(tmp_path / "x.hdf5"), READ_WRITE_ACCESS)
+        ds = db.create_dataset("d")
+        ds.create_graspable("o")
+        cube = unit_cube()
+        ds.store_convex_pieces("o", [cube, cube.rescale(0.5)])
+        pieces = ds.convex_pieces("o")
+        assert len(pieces) == 2
+        assert pieces[1].volume() == pytest.approx(0.125)
+
+        ims = [np.random.RandomState(i).rand(16, 16).astype(np.float32)
+               for i in range(3)]
+        ds.store_rendered_images("o", ims, stable_pose_id="pose_0")
+        got, itype = ds.rendered_images("o", "pose_0")
+        assert got.shape == (3, 16, 16) and itype == "depth"
+        np.testing.assert_allclose(got[1], ims[1])
+
+        ds.create_metadata("scale", {"type": "float"})
+        assert ds.metadata_names == ["scale"]
+        ds.set_object_metadata("o", "scale", 1.5)
+        assert ds.object_metadata("o")["scale"] == 1.5
+        db.close()
