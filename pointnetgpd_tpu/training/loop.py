@@ -161,9 +161,27 @@ class Trainer:
             return None, None
         cfg = self.cfg
         if cfg.gpd:
-            # GPD eval rides the train-step metrics for now (stateless model,
-            # no BN train/eval distinction beyond dropout which is off)
-            return None, None
+            from .train import make_gpd_eval_step
+
+            if not hasattr(self, "_gpd_eval"):
+                self._gpd_eval = make_gpd_eval_step(
+                    num_points=cfg.grasp_points_num,
+                    project_chann=cfg.project_chann,
+                    min_point_limit=cfg.min_point_limit)
+            it = iter(self.eval_data)
+            tot = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
+            for _ in range(cfg.eval_steps):
+                grasps, clouds, transforms, labels, weights = next(it)
+                key, sub = jax.random.split(key)
+                out = self._gpd_eval(self.state.params, jnp.asarray(grasps),
+                                     jnp.asarray(clouds),
+                                     jnp.asarray(transforms),
+                                     jnp.asarray(labels), jnp.asarray(weights),
+                                     sub)
+                for k_ in tot:
+                    tot[k_] += float(out[k_])
+            count = max(tot["count"], 1.0)
+            return tot["correct"] / count, tot["loss_sum"] / count
         it = iter(self.eval_data)
         tot = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
         for _ in range(cfg.eval_steps):

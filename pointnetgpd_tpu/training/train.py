@@ -169,6 +169,56 @@ def init_train_state(params, bn_state, tx) -> TrainState:
     return TrainState(params, bn_state, tx.init(params), jnp.zeros((), jnp.int32))
 
 
+def make_gpd_feature_fn(*, num_points: int, project_chann: int = 3,
+                        min_point_limit: int = 50, knn_k: int = 30):
+    """Per-sample GPD feature extractor: crop -> KNN normals -> projection
+    images (shared by the GPD train and eval steps)."""
+    from ..ops.cloud import estimate_normals_knn
+    from ..ops.projection import gpd_projection_features
+
+    def features_one(grasp, pc, transform, k):
+        pts, counts, valid = collect_grasp_clouds(
+            grasp[None], pc, transform, k,
+            num_out=num_points, min_point_limit=min_point_limit)
+        pts = pts[0]
+        cam = jnp.asarray([-1.0, 0.0, 0.0], pts.dtype)
+        normals = estimate_normals_knn(pts, cam, k=knn_k,
+                                       chunk=min(256, num_points))
+        width = grasp[6]
+        feats = gpd_projection_features(
+            pts, normals, jnp.ones((num_points,), bool), width,
+            project_chann=project_chann)
+        return feats, valid[0]
+
+    return features_one
+
+
+def make_gpd_eval_step(*, num_points: int, project_chann: int = 3,
+                       min_point_limit: int = 50, knn_k: int = 30):
+    """Masked eval for the GPD baseline (counterpart of make_eval_step)."""
+    from ..models.gpd import apply_gpd_classifier
+
+    features_one = make_gpd_feature_fn(
+        num_points=num_points, project_chann=project_chann,
+        min_point_limit=min_point_limit, knn_k=knn_k)
+
+    @jax.jit
+    def eval_step(params, grasps, clouds, transforms, labels, label_weights,
+                  key):
+        keys = jax.random.split(key, grasps.shape[0])
+        feats, crop_valid = jax.vmap(features_one)(grasps, clouds, transforms,
+                                                   keys)
+        weights = label_weights * crop_valid.astype(label_weights.dtype)
+        logp = apply_gpd_classifier(params, feats, train=False)
+        loss = masked_nll_loss(logp, labels, weights)
+        pred = jnp.argmax(logp, axis=-1)
+        correct = jnp.sum((pred == labels) * weights)
+        return {"loss_sum": loss * jnp.maximum(jnp.sum(weights), 1.0),
+                "correct": correct, "count": jnp.sum(weights)}
+
+    return eval_step
+
+
 def make_gpd_train_step(tx, *, num_points: int, project_chann: int = 3,
                         min_point_limit: int = 50, knn_k: int = 30):
     """Train step for the GPD projection-CNN baseline
@@ -186,31 +236,16 @@ def make_gpd_train_step(tx, *, num_points: int, project_chann: int = 3,
     dict.
     """
     from ..models.gpd import apply_gpd_classifier
-    from ..ops.cloud import estimate_normals_knn
-    from ..ops.projection import gpd_projection_features
+
+    features_one = make_gpd_feature_fn(
+        num_points=num_points, project_chann=project_chann,
+        min_point_limit=min_point_limit, knn_k=knn_k)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, grasps, clouds, transforms, labels,
                    label_weights, key):
         b = grasps.shape[0]
         keys = jax.random.split(key, b)
-
-        def features_one(grasp, pc, transform, k):
-            pts, counts, valid = collect_grasp_clouds(
-                grasp[None], pc, transform, k,
-                num_out=num_points, min_point_limit=min_point_limit)
-            pts = pts[0]
-            # camera at origin of the gripper frame approach axis (-x);
-            # orientation consistency is what matters for the normal images
-            cam = jnp.asarray([-1.0, 0.0, 0.0], pts.dtype)
-            normals = estimate_normals_knn(pts, cam, k=knn_k,
-                                           chunk=min(256, num_points))
-            width = grasp[6]
-            feats = gpd_projection_features(
-                pts, normals, jnp.ones((num_points,), bool), width,
-                project_chann=project_chann)
-            return feats, valid[0]
-
         feats, crop_valid = jax.vmap(features_one)(grasps, clouds, transforms,
                                                    keys)
         weights = label_weights * crop_valid.astype(label_weights.dtype)
