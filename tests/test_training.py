@@ -190,13 +190,13 @@ def test_gpd_trainer_with_eval():
     from pointnetgpd_tpu.training.loop import TrainConfig, Trainer
 
     tmp = tempfile.mkdtemp()
-    cfg = TrainConfig(num_classes=2, grasp_points_num=64, batch_size=4,
+    cfg = TrainConfig(num_classes=2, grasp_points_num=64, batch_size=8,
                       epochs=1, steps_per_epoch=2, eval_steps=1,
                       min_point_limit=5, gpd=True, project_chann=3,
                       tag="gpd_eval", model_path=f"{tmp}/m",
                       log_dir=f"{tmp}/l")
-    data = SyntheticGraspData(batch_size=4, cloud_points=256)
-    tr = Trainer(cfg, data, SyntheticGraspData(batch_size=4, cloud_points=256,
+    data = SyntheticGraspData(batch_size=8, cloud_points=256)
+    tr = Trainer(cfg, data, SyntheticGraspData(batch_size=8, cloud_points=256,
                                                seed=7))
     tr.fit()
     acc, loss = tr.evaluate(jax.random.PRNGKey(0))
