@@ -228,6 +228,63 @@ class Mesh3D:
         pts = (1 - r1) * tv[:, 0] + r1 * (1 - r2) * tv[:, 1] + r1 * r2 * tv[:, 2]
         return pts, tri_idx
 
+    def vertex_normals(self) -> np.ndarray:
+        """Area-weighted per-vertex normals (mesh.py:568-600)."""
+        tn = self.tri_normals(normalized=False)  # area-weighted
+        vn = np.zeros_like(self.vertices)
+        for k in range(3):
+            np.add.at(vn, self.triangles[:, k], tn)
+        norms = np.linalg.norm(vn, axis=1, keepdims=True)
+        return vn / np.maximum(norms, 1e-16)
+
+    def ray_intersections(self, origin, direction) -> np.ndarray:
+        """All ray/triangle intersection points, sorted by distance
+        (mesh.py:788-834). Batched Moller-Trumbore over all triangles."""
+        origin = np.asarray(origin, float)
+        d = np.asarray(direction, float)
+        d = d / max(np.linalg.norm(d), 1e-16)
+        tv = self.tri_vertices()
+        e1 = tv[:, 1] - tv[:, 0]
+        e2 = tv[:, 2] - tv[:, 0]
+        p = np.cross(d, e2)
+        det = np.einsum("fi,fi->f", e1, p)
+        ok = np.abs(det) > 1e-12
+        inv_det = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        s = origin - tv[:, 0]
+        u = np.einsum("fi,fi->f", s, p) * inv_det
+        q = np.cross(s, e1)
+        v = np.einsum("i,fi->f", d, q) * inv_det
+        t = np.einsum("fi,fi->f", e2, q) * inv_det
+        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-12)
+        ts = np.sort(t[hit])
+        # dedupe hits on shared edges/vertices (both adjacent triangles match)
+        if len(ts):
+            keep = np.concatenate([[True], np.diff(ts) > 1e-9])
+            ts = ts[keep]
+        return origin[None, :] + ts[:, None] * d[None, :]
+
+    def merge(self, other: "Mesh3D") -> "Mesh3D":
+        """Concatenate two meshes (mesh.py:1066-1100)."""
+        verts = np.concatenate([self.vertices, other.vertices])
+        tris = np.concatenate([
+            self.triangles,
+            np.asarray(other.triangles) + len(self.vertices),
+        ]).astype(np.int32)
+        return Mesh3D(verts, tris, self.density)
+
+    def resting_pose(self, t_obj_world: np.ndarray):
+        """The stable pose the object settles into from a given initial pose
+        (mesh.py:933-1000): the stable pose whose face normal is most
+        anti-aligned with the initial world-frame down direction."""
+        poses = self.stable_poses()
+        if not poses:
+            return None
+        rot = np.asarray(t_obj_world)[:3, :3]
+        down_obj = rot.T @ np.array([0.0, 0.0, -1.0])
+        best = max(poses,
+                   key=lambda pose: float(-pose["r"][2] @ down_obj))
+        return best
+
     def is_watertight(self) -> bool:
         """Every edge shared by exactly two triangles (mesh.py:1203-1215)."""
         t = self.triangles

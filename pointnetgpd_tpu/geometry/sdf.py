@@ -241,6 +241,28 @@ def surface_normal(sdf: SdfGrid, coords, delta: float = 1.5):
             valid.reshape(coords.shape[:-1]))
 
 
+def transform_dense(sdf: SdfGrid, t_4x4, *, detailed: bool = True) -> SdfGrid:
+    """Resample the SDF grid under a rigid transform (sdf.py:592-660):
+    each new grid cell reads the OLD grid at the inverse-transformed
+    location via trilinear interpolation. Rotations leave distances
+    invariant, so values carry over directly."""
+    t = np.asarray(t_4x4, np.float64)
+    rot, trans = t[:3, :3], t[:3, 3]
+    dims = sdf.dims
+    idx = [np.arange(d, dtype=np.float64) for d in dims]
+    ii, jj, kk = np.meshgrid(*idx, indexing="ij")
+    new_world = (np.asarray(sdf.origin)
+                 + float(sdf.resolution) * np.stack([ii, jj, kk], axis=-1))
+    # old-frame world coords of each new cell
+    inv_rot = rot.T
+    old_world = (new_world.reshape(-1, 3) - trans) @ inv_rot.T
+    old_grid = (old_world - np.asarray(sdf.origin)) / float(sdf.resolution)
+    vals = np.asarray(
+        signed_distance(sdf, jnp.asarray(old_grid, jnp.float32))
+    ).reshape(dims)
+    return make_sdf(vals, np.asarray(sdf.origin), float(sdf.resolution))
+
+
 def rescale(sdf: SdfGrid, scale: float) -> SdfGrid:
     """Rescale the SDF by a scale factor (sdf.py:575+): world distances and
     resolution scale linearly."""

@@ -485,6 +485,30 @@ def point_sample_grasps_sdf(sdf: sdf_lib.SdfGrid, key, gripper: Gripper,
 # Host-side accumulation wrapper (the reference's while-loop, host-side)
 # ---------------------------------------------------------------------------
 
+def dedupe_grasps(configs, min_dist: float = 0.0025, alpha: float = 0.05):
+    """Coverage rejection: greedily drop grasps closer than ``min_dist`` to an
+    already-kept grasp under the center+axis distance
+    (generate_grasps' pruning loop, grasp_sampler.py:153-234 with
+    ParallelJawPtGrasp3D.distance, grasp.py:212-232). Host-side greedy over a
+    device-computed pairwise distance matrix."""
+    configs = np.asarray(configs)
+    n = len(configs)
+    if n == 0:
+        return configs
+    centers = jnp.asarray(configs[:, 0:3])
+    axes = jnp.asarray(configs[:, 3:6])
+    center_d = jnp.linalg.norm(centers[:, None, :] - centers[None, :, :],
+                               axis=-1)
+    dots = jnp.clip(jnp.abs(axes @ axes.T), -1.0, 1.0)
+    axis_d = (2.0 / jnp.pi) * jnp.arccos(dots)
+    dist = np.asarray(center_d + alpha * axis_d)
+    keep = []
+    for i in range(n):
+        if all(dist[i, j] >= min_dist for j in keep):
+            keep.append(i)
+    return configs[keep]
+
+
 def sample_until(sample_fn, key, num_wanted: int, max_rounds: int = 10):
     """Run a fixed-budget batched sampler until enough valid samples packed.
 

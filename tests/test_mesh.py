@@ -133,3 +133,75 @@ def test_reference_tetrahedron(rng):
     assert m.volume() > 0
     assert m.is_watertight()
     assert len(m.stable_poses()) >= 1
+
+
+class TestMeshExtras:
+    def test_vertex_normals_cube(self):
+        m = unit_cube()
+        vn = m.vertex_normals()
+        assert vn.shape == (8, 3)
+        # corner normals point diagonally outward from the center
+        center = np.array([0.5, 0.5, 0.5])
+        outward = m.vertices - center
+        cos = np.sum(vn * outward / np.linalg.norm(outward, axis=1,
+                                                   keepdims=True), axis=1)
+        assert cos.min() > 0.5
+
+    def test_ray_intersections(self):
+        m = unit_cube()
+        hits = m.ray_intersections([0.5, 0.5, -1.0], [0, 0, 1.0])
+        assert len(hits) == 2  # enters at z=0, exits at z=1
+        np.testing.assert_allclose(sorted(h[2] for h in hits), [0.0, 1.0],
+                                   atol=1e-9)
+        misses = m.ray_intersections([5.0, 5.0, -1.0], [0, 0, 1.0])
+        assert len(misses) == 0
+
+    def test_merge(self):
+        a = unit_cube()
+        b = Mesh3D(unit_cube().vertices + [3.0, 0, 0], unit_cube().triangles)
+        m = a.merge(b)
+        assert m.volume() == pytest.approx(2.0)
+        assert m.is_watertight()
+
+    def test_resting_pose(self):
+        m = unit_cube()
+        t = np.eye(4)  # identity: -z face already down
+        pose = m.resting_pose(t)
+        # the chosen face normal (outward) is -z in object coords
+        np.testing.assert_allclose(pose["r"][2], [0, 0, 1], atol=1e-9)
+
+
+def test_sdf_transform_dense():
+    from pointnetgpd_tpu.geometry.sdf import (
+        make_sdf,
+        signed_distance,
+        transform_dense,
+        world_to_grid,
+    )
+    import jax.numpy as jnp
+
+    DIM, RES, R = 32, 0.008, 0.06
+    origin = -RES * (DIM - 1) / 2.0 * np.ones(3)
+    ii, jj, kk = np.meshgrid(*(np.arange(DIM),) * 3, indexing="ij")
+    pts = origin + RES * np.stack([ii, jj, kk], axis=-1)
+    # off-center sphere so the transform is visible
+    c0 = np.array([0.02, 0.0, 0.0])
+    sdf = make_sdf(np.linalg.norm(pts - c0, axis=-1) - R, origin, RES)
+    shift = np.eye(4)
+    shift[:3, 3] = [-0.02, 0.0, 0.0]  # moves the sphere to the origin
+    moved = transform_dense(sdf, shift)
+    v = float(signed_distance(moved, world_to_grid(moved,
+                                                   jnp.asarray([[R, 0.0, 0.0]])))[0])
+    assert abs(v) < 2 * RES  # surface now passes through (R, 0, 0)
+
+
+def test_dedupe_grasps():
+    from pointnetgpd_tpu.grasping.samplers import dedupe_grasps
+
+    configs = np.zeros((4, 10), np.float32)
+    configs[:, 3:6] = [0, 1, 0]
+    configs[1, 0] = 1e-4          # near-duplicate of 0
+    configs[2, 0] = 0.05          # distinct center
+    configs[3, 3:6] = [1, 0, 0]   # same center as 0, orthogonal axis
+    kept = dedupe_grasps(configs, min_dist=0.01)
+    assert len(kept) == 3  # rows 0, 2, 3 survive
