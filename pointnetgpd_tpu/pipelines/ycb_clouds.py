@@ -215,11 +215,21 @@ def main(argv=None):
     p.add_argument("--overwrite", action="store_true")
     args = p.parse_args(argv)
     folder = os.path.join(args.data_root, "data/ycb-tools/models/ycb")
+    # failed frames are appended to exception.txt, like the reference's
+    # bad-frame log (PointNetGPD/exception.txt)
+    exc_path = os.path.join(args.data_root or ".", "exception.txt")
     for jpg in sorted(glob.glob(f"{folder}/*/rgbd/*.jpg")):
         parts = jpg.split("/")
         obj = parts[-3]
         cam, angle = os.path.basename(jpg).split(".")[0].split("_")
-        generate_frame(folder, obj, cam, angle, overwrite=args.overwrite)
+        try:
+            out = generate_frame(folder, obj, cam, angle,
+                                 overwrite=args.overwrite)
+            if out is None:
+                raise ValueError("missing calibration or blacklisted")
+        except Exception as e:
+            with open(exc_path, "a") as f:
+                f.write(f"{jpg}: {e}\n")
     print("All frames done.")
 
 

@@ -26,6 +26,26 @@ from ..inference.scorer import GraspScorer
 from ..ops.cloud import estimate_normals_knn, voxel_downsample
 
 
+def remove_table_points(points: np.ndarray, z_thresh: float = 0.005,
+                        table_z: float = 0.0) -> np.ndarray:
+    """Drop points within z_thresh of the table plane
+    (kinect2grasp.py remove_table_points; the reference fits the plane with
+    RANSAC — the table frame here already has z=0 as the table)."""
+    return points[points[:, 2] > table_z + z_thresh]
+
+
+def remove_grasp_outside_tray(frames: np.ndarray, tray_x=(-0.2, 0.2),
+                              tray_y=(-0.2, 0.2)) -> np.ndarray:
+    """Keep grasps whose bottom centers fall inside the tray bounds
+    (kinect2grasp.py:370-388 remove_grasp_outside_tray: checks the finger
+    footprint against the tray rectangle)."""
+    frames = np.asarray(frames)
+    bc = frames[:, 0]
+    ok = ((bc[:, 0] > tray_x[0]) & (bc[:, 0] < tray_x[1])
+          & (bc[:, 1] > tray_y[0]) & (bc[:, 1] < tray_y[1]))
+    return frames[ok]
+
+
 @dataclass
 class DetectorConfig:
     """Online-path parameters (kinect2grasp.py:42-63,429 + sampler params)."""
