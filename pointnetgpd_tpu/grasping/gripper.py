@@ -47,6 +47,20 @@ class Gripper:
     def open_width(self) -> float:
         return self.hand_outer_diameter - 2.0 * self.finger_width
 
+    def gripper_pose(self, config, t_grasp_gripper=None):
+        """4x4 gripper->object transform for a grasp configuration
+        (reference: grasp.py:377-399 + gripper.py:105-129's T_grasp_gripper —
+        robot-specific gripper frame conventions compose on the right).
+        t_grasp_gripper defaults to identity (canonical grasp frame)."""
+        import numpy as np
+
+        from .grasp import t_grasp_obj
+
+        t = np.asarray(t_grasp_obj(config))
+        if t_grasp_gripper is not None:
+            t = t @ np.asarray(t_grasp_gripper)
+        return t
+
     @classmethod
     def from_json(cls, path: str, name: str = "custom") -> "Gripper":
         import json

@@ -67,6 +67,60 @@ def convert_state_dict(state_dict):
     return params, state
 
 
+def export_torch_state_dict(params, state, path=None):
+    """Reverse conversion: our param/state pytrees -> a torch-format
+    state_dict (reference key names), optionally saved with torch.save.
+
+    The result loads into the reference's model classes via
+    ``model.load_state_dict(torch.load(path))`` — users migrating back (or
+    validating against the reference) keep checkpoint interop both ways.
+    """
+    import torch
+
+    sd = {}
+
+    def walk(p_node, s_node, prefix):
+        for name, leaf in p_node.items():
+            key = f"{prefix}{name}"
+            if isinstance(leaf, dict):
+                walk(leaf, (s_node or {}).get(name), key + ".")
+            elif name == "w":
+                arr = np.asarray(leaf)
+                if arr.ndim == 4:  # HWIO -> OIHW
+                    arr = arr.transpose(3, 2, 0, 1)
+                elif prefix.rstrip(".").split(".")[-1].startswith("conv"):
+                    arr = arr[:, :, None]  # (O, I) -> Conv1d (O, I, 1)
+                sd[prefix.rstrip(".") + ".weight"] = torch.from_numpy(
+                    arr.copy())
+            elif name == "b":
+                sd[prefix.rstrip(".") + ".bias"] = torch.from_numpy(
+                    np.asarray(leaf).copy())
+            elif name == "scale":
+                sd[prefix.rstrip(".") + ".weight"] = torch.from_numpy(
+                    np.asarray(leaf).copy())
+            elif name == "bias":
+                sd[prefix.rstrip(".") + ".bias"] = torch.from_numpy(
+                    np.asarray(leaf).copy())
+
+    def walk_state(s_node, prefix):
+        for name, leaf in s_node.items():
+            key = f"{prefix}{name}"
+            if isinstance(leaf, dict):
+                walk_state(leaf, key + ".")
+            elif name == "mean":
+                sd[prefix.rstrip(".") + ".running_mean"] = torch.from_numpy(
+                    np.asarray(leaf).copy())
+            elif name == "var":
+                sd[prefix.rstrip(".") + ".running_var"] = torch.from_numpy(
+                    np.asarray(leaf).copy())
+
+    walk(params, state, "")
+    walk_state(state, "")
+    if path is not None:
+        torch.save(sd, path)
+    return sd
+
+
 def load_torch_checkpoint(path, ref_paths=()):
     """Load a reference checkpoint file and convert it.
 

@@ -47,3 +47,23 @@ def replicate_tree(tree, mesh: Mesh):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host initialization (the framework's communication-layer entry:
+    SURVEY.md §5 — jax.distributed + ICI/DCN collectives replace the
+    reference's absent NCCL/MPI layer). No-op on single-host; env-driven when
+    args are omitted (JAX reads the cluster env)."""
+    import jax
+
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return  # single-host / no cluster env: run locally
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)

@@ -152,3 +152,33 @@ def test_init_tree_matches_torch_tree(ref_pointnet):
     p, s = init_pointnet_cls(jax.random.PRNGKey(1), input_chann=3, k=2)
     assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(ref_p)
     assert jax.tree_util.tree_structure(s) == jax.tree_util.tree_structure(ref_s)
+
+
+@requires_reference
+def test_torch_export_roundtrip(ref_pointnet, rng):
+    """params -> torch state_dict -> reference model: outputs must match the
+    JAX forward (checkpoint interop both directions)."""
+    import torch
+
+    from pointnetgpd_tpu.models.convert import export_torch_state_dict
+    from pointnetgpd_tpu.models import init_pointnet_cls
+
+    params, state = init_pointnet_cls(jax.random.PRNGKey(5), input_chann=3,
+                                      k=3)
+    sd = export_torch_state_dict(params, state)
+    model = ref_pointnet.PointNetCls(num_points=128, input_chann=3, k=3)
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected
+    # only num_batches_tracked counters may be missing
+    assert all("num_batches_tracked" in m for m in missing)
+
+    x = rng.randn(2, 3, 128).astype(np.float32)
+    model.eval()
+    with torch.no_grad():
+        ref_logp, _ = model(torch.from_numpy(x))
+    from pointnetgpd_tpu.models import apply_pointnet_cls
+
+    (logp, _), _ = apply_pointnet_cls(params, state,
+                                      jnp.asarray(x).swapaxes(1, 2),
+                                      train=False)
+    np.testing.assert_allclose(np.asarray(logp), ref_logp.numpy(), atol=1e-4)
