@@ -41,6 +41,10 @@ def build_parser():
     p.add_argument("--ref-path", type=str, default="",
                    help="path containing the reference model package for "
                         "unpickling whole-module checkpoints")
+    p.add_argument("--exact", action="store_true",
+                   help="fp32-highest matmuls for bit-accurate parity vs the "
+                        "reference (SURVEY.md hard parts: TPU matmul "
+                        "precision); default uses the backend's fast path")
     return p
 
 
@@ -72,6 +76,10 @@ def load_scorer(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.exact:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "highest")
     scorer = load_scorer(args)
 
     if args.input:
