@@ -173,12 +173,14 @@ class SyntheticGraspData:
 
     def __init__(self, batch_size: int, cloud_points: int = 5000,
                  num_classes: int = 2, seed: int = 0,
-                 thresh_good: float = 0.6, thresh_bad: float = 0.6):
+                 thresh_good: float = 0.6, thresh_bad: float = 0.6,
+                 learnable: bool = False):
         self.batch_size = batch_size
         self.cloud_points = cloud_points
         self.num_classes = num_classes
         self.thresh_good = thresh_good
         self.thresh_bad = thresh_bad
+        self.learnable = learnable
         self.rng = np.random.RandomState(seed)
 
     def next_batch(self):
@@ -198,6 +200,15 @@ class SyntheticGraspData:
             grasps[:, 10], grasps[:, 11], self.thresh_good, self.thresh_bad,
             self.num_classes,
         )
+        if self.learnable:
+            # give labels a geometric signature the network can learn from
+            # the cropped points: "good" samples concentrate their cloud
+            # tightly around the grasp center (tests/CI sanity for the whole
+            # learning loop — the random-score mode has NO learnable signal)
+            good = labels == (self.num_classes - 1)
+            for i in np.where(good & (weights > 0))[0]:
+                clouds[i] = (grasps[i, 0:3]
+                             + (clouds[i] - grasps[i, 0:3]) * 0.25)
         return grasps, clouds, transforms, labels, weights
 
     def __iter__(self):

@@ -201,3 +201,24 @@ def test_gpd_trainer_with_eval():
     tr.fit()
     acc, loss = tr.evaluate(jax.random.PRNGKey(0))
     assert acc is not None and np.isfinite(loss)
+
+
+def test_learnable_synthetic_accuracy_improves():
+    """On the learnable synthetic task the full fused pipeline must reach
+    well-above-chance accuracy — validates learning dynamics end to end
+    (BN updates, Adam, masking, on-device crop)."""
+    from pointnetgpd_tpu.training.data import SyntheticGraspData
+
+    data = SyntheticGraspData(batch_size=32, cloud_points=1024,
+                              num_classes=2, seed=0, learnable=True)
+    state, tx = _tiny_state(k=2, lr=0.002)
+    step_fn = make_fused_train_step(tx, num_points=64, min_point_limit=5)
+    key = jax.random.PRNGKey(0)
+    accs = []
+    for i in range(30):
+        batch = data.next_batch()
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, *[jnp.asarray(a) for a in batch], sub)
+        accs.append(float(metrics["acc"]))
+    # late-training accuracy far above the ~0.5 chance level
+    assert np.mean(accs[-5:]) > 0.85, accs[-5:]
