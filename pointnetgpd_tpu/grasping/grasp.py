@@ -267,7 +267,6 @@ def find_contact(sdf: sdf_lib.SdfGrid, loa):
 
     # neighbor triples per index (edge-clamped like the reference's cases)
     idx = jnp.arange(s)
-    i_prev = jnp.where(idx == 0, 0, idx - 1)
     i_next = jnp.where(idx == s - 1, s - 1, idx + 1)
     # i == 0 uses (0, 1, 2); i == S-1 uses (S-3, S-2, S-1) (grasp.py:669-693)
     a_idx = jnp.where(idx == 0, 0, jnp.where(idx == s - 1, s - 3, idx - 1))
