@@ -32,15 +32,18 @@ VARIANTS = {
     "1v_mc": dict(num_classes=3, grasp_points_num=750, thresh_good=0.5,
                   thresh_bad=1.2, one_view=True, lr=0.005, gpd=False),
     "fullv": dict(num_classes=2, grasp_points_num=1000, thresh_good=0.6,
-                  thresh_bad=0.6, one_view=False, lr=0.005, gpd=False),
+                  thresh_bad=0.6, one_view=False, lr=0.005, gpd=False,
+                  views_per_sample=20, cloud_points=50000),
     "fullv_mc": dict(num_classes=3, grasp_points_num=1000, thresh_good=0.5,
-                     thresh_bad=1.2, one_view=False, lr=0.005, gpd=False),
+                     thresh_bad=1.2, one_view=False, lr=0.005, gpd=False,
+                     views_per_sample=20, cloud_points=50000),
     "1v_gpd": dict(num_classes=2, grasp_points_num=750, thresh_good=0.6,
                    thresh_bad=0.6, one_view=True, lr=1e-3, gpd=True,
                    project_chann=3),
     "fullv_gpd": dict(num_classes=2, grasp_points_num=1000, thresh_good=0.6,
                       thresh_bad=0.6, one_view=False, lr=1e-3, gpd=True,
-                      project_chann=12),
+                      project_chann=12, views_per_sample=20,
+                      cloud_points=50000),
 }
 
 
@@ -106,9 +109,11 @@ def main(argv=None):
         index = GraspDataIndex(args.data_root, tag=tag,
                                one_view=var["one_view"])
         return OneViewBatcher(
-            index, cfg.batch_size, cloud_points=args.cloud_points,
+            index, cfg.batch_size,
+            cloud_points=var.get("cloud_points", args.cloud_points),
             num_classes=cfg.num_classes, thresh_good=var["thresh_good"],
-            thresh_bad=var["thresh_bad"], seed=seed)
+            thresh_bad=var["thresh_bad"], seed=seed,
+            views_per_sample=var.get("views_per_sample", 1))
 
     trainer = Trainer(cfg, make_data("train", args.seed),
                       make_data("test", args.seed + 1))

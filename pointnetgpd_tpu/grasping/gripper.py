@@ -47,6 +47,22 @@ class Gripper:
     def open_width(self) -> float:
         return self.hand_outer_diameter - 2.0 * self.finger_width
 
+    def collides_with_table(self, config, table_z: float = 0.0,
+                            clearance: float = 0.0) -> bool:
+        """True when the hand in the grasp pose dips below the table plane
+        (reference: gripper.py:69-103 collides_with_table — the reference
+        tests the gripper mesh's minimum z in the grasp pose; here the
+        21-point hand model stands in for the mesh)."""
+        import numpy as np
+
+        from .grasp import rotated_full_axis
+
+        config = np.asarray(config)
+        rot = np.asarray(rotated_full_axis(config[3:6], config[7]))
+        rows = np.stack([rot[:, 0], config[3:6], rot[:, 2]])
+        pts = config[0:3] + hand_points(self)[1:] @ rows
+        return bool(pts[:, 2].min() < table_z + clearance)
+
     def gripper_pose(self, config, t_grasp_gripper=None):
         """4x4 gripper->object transform for a grasp configuration
         (reference: grasp.py:377-399 + gripper.py:105-129's T_grasp_gripper —

@@ -97,13 +97,18 @@ class OneViewBatcher:
     def __init__(self, index: GraspDataIndex, batch_size: int,
                  cloud_points: int = 20000, num_classes: int = 2,
                  thresh_good: float = 0.6, thresh_bad: float = 0.6,
-                 seed: int = 0, prefetch: int = 4):
+                 seed: int = 0, prefetch: int = 4,
+                 views_per_sample: int = 1):
+        """views_per_sample: 1 == the one-view datasets (dataset.py:420-430);
+        >1 stacks that many random view files before subsampling, the full-
+        cloud datasets' pc_file_used_num (dataset.py:244-254, fullv uses 20)."""
         self.index = index
         self.batch_size = batch_size
         self.cloud_points = cloud_points
         self.num_classes = num_classes
         self.thresh_good = thresh_good
         self.thresh_bad = thresh_bad
+        self.views_per_sample = views_per_sample
         self.rng = np.random.RandomState(seed)
         self._grasp_cache: dict[str, np.ndarray] = {}
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
@@ -139,8 +144,16 @@ class OneViewBatcher:
             levels[i], refines[i] = row[-2], row[-1]
             cloud_obj = self.index.transform[obj][0]
             files = self.index.cloud_files[cloud_obj]
-            pc = np.load(files[self.rng.randint(len(files))])
-            clouds[i] = self._fixed_cloud(np.asarray(pc, np.float32)[:, :3])
+            if self.views_per_sample <= 1:
+                pc = np.asarray(np.load(files[self.rng.randint(len(files))]),
+                                np.float32)[:, :3]
+            else:
+                picks = self.rng.choice(len(files), self.views_per_sample)
+                pc = np.concatenate([
+                    np.asarray(np.load(files[j]), np.float32)[:, :3]
+                    for j in picks
+                ])
+            clouds[i] = self._fixed_cloud(pc)
             transforms[i] = np.asarray(self.index.transform[obj][1], np.float32)
         labels, weights = labels_from_scores(
             levels, refines, self.thresh_good, self.thresh_bad, self.num_classes

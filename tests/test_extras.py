@@ -205,3 +205,44 @@ class TestUrdfAndStp:
         m = MaterialProperties(ambient=0.1, diffuse=0.5)
         assert m.shade(1.0) == pytest.approx(0.6)
         assert m.shade(0.0) == pytest.approx(0.1)
+
+
+class TestGripperTableCollision:
+    def test_collides_with_table(self):
+        g = Gripper()
+        # grasp high above the table, axis +y, angle 0: no collision
+        high = np.concatenate([[0, 0, 0.5], [0, 1.0, 0], [0.08, 0, 0, 0]])
+        assert not g.collides_with_table(high, table_z=0.0)
+        # same grasp at z=1 cm: hand geometry (hand_height 3 cm) dips below
+        low = np.concatenate([[0, 0, 0.01], [0, 1.0, 0], [0.08, 0, 0, 0]])
+        assert g.collides_with_table(low, table_z=0.0)
+
+
+class TestMultiViewBatcher:
+    def test_views_per_sample_stacks(self, tmp_path):
+        import pickle
+
+        rng = np.random.RandomState(0)
+        (tmp_path / "PointNetGPD/data/ycb_grasp/train").mkdir(parents=True)
+        grasps = rng.rand(10, 12)
+        np.save(tmp_path / "PointNetGPD/data/ycb_grasp/train/objA.npy", grasps)
+        cdir = tmp_path / "data/ycb-tools/models/ycb/objA/rgbd/clouds"
+        cdir.mkdir(parents=True)
+        # views with DISTINCT value ranges so stacking is detectable
+        for v in range(4):
+            np.save(cdir / f"pc_{v}.npy",
+                    np.full((500, 3), float(v), np.float32))
+        with open(tmp_path / "PointNetGPD/data/google2cloud.pkl", "wb") as f:
+            pickle.dump({"objA": ("objA", np.eye(4))}, f)
+
+        from pointnetgpd_tpu.training.data import GraspDataIndex, OneViewBatcher
+
+        index = GraspDataIndex(str(tmp_path), tag="train", one_view=False)
+        b = OneViewBatcher(index, batch_size=4, cloud_points=1200,
+                           views_per_sample=3, seed=0)
+        _, clouds, *_ = next(b)
+        b.close()
+        # each sample's cloud mixes values from multiple distinct views
+        for i in range(4):
+            distinct = np.unique(clouds[i, :, 0].round(3))
+            assert len(distinct) >= 2
