@@ -207,6 +207,48 @@ class Mesh3D:
         out = Mesh3D(np.concatenate(verts), new_tris, self.density)
         return out.merge_duplicate_vertices()
 
+    def decimate(self, target_tris: int) -> "Mesh3D":
+        """Vertex-clustering decimation: quantize vertices to a uniform grid
+        sized so the result lands near ``target_tris`` triangles. Used to cut
+        the YCB google_512k meshes (~500k tris) to voxelizer-friendly sizes
+        before ops/mesh_to_sdf (the external SDFGen handled huge meshes by
+        streaming; the batched voxelizer prefers fewer triangles)."""
+        if len(self.triangles) <= target_tris:
+            return self
+        lo, hi = self.bounding_box()
+        span = float((hi - lo).max())
+        # triangles scale ~ quadratically with grid resolution
+        n_cells = max(int(np.sqrt(target_tris / 2.0)), 3)
+        for _ in range(8):
+            cell = span / n_cells
+            q = np.floor((self.vertices - lo) / max(cell, 1e-12)).astype(np.int64)
+            _, first, inverse = np.unique(q, axis=0, return_index=True,
+                                          return_inverse=True)
+            # representative vertex = centroid of the cluster
+            reps = np.zeros((len(first), 3))
+            counts = np.zeros(len(first))
+            np.add.at(reps, inverse, self.vertices)
+            np.add.at(counts, inverse, 1.0)
+            reps /= counts[:, None]
+            tris = inverse[self.triangles]
+            ok = ((tris[:, 0] != tris[:, 1]) & (tris[:, 1] != tris[:, 2])
+                  & (tris[:, 0] != tris[:, 2]))
+            tris = tris[ok]
+            # dedupe identical triangles up to cyclic rotation (orientation
+            # preserved): rotate each so the smallest index leads
+            shift = np.argmin(tris, axis=1)
+            rolled = np.stack([
+                tris[np.arange(len(tris)), shift],
+                tris[np.arange(len(tris)), (shift + 1) % 3],
+                tris[np.arange(len(tris)), (shift + 2) % 3],
+            ], axis=1)
+            tris = np.unique(rolled, axis=0)
+            out = Mesh3D(reps, tris.astype(np.int32), self.density)
+            if len(out.triangles) <= target_tris or n_cells <= 3:
+                return out.remove_unreferenced_vertices()
+            n_cells = max(int(n_cells * 0.8), 3)
+        return out.remove_unreferenced_vertices()
+
     def merge_duplicate_vertices(self, tol: float = 1e-12) -> "Mesh3D":
         rounded = np.round(self.vertices / max(tol, 1e-12)).astype(np.int64)
         _, first, inverse = np.unique(rounded, axis=0, return_index=True,

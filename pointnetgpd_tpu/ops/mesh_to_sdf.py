@@ -114,7 +114,7 @@ def _inside_parity(columns_xy, z0, res, tri_v, *, nz: int, chunk: int = 512):
 
 
 def mesh_to_sdf(mesh: Mesh3D, dim: int = 100, padding: int = 5,
-                jitter: float = 1e-4) -> SdfGrid:
+                jitter: float = 1e-4, max_triangles: int = 60000) -> SdfGrid:
     """Voxelize a watertight mesh into a (dim^3) SDF grid with ``padding``
     empty cells on each side (SDFGen's dim/padding semantics,
     read_file_sdf.py:34-41 + test/config.yaml).
@@ -122,6 +122,11 @@ def mesh_to_sdf(mesh: Mesh3D, dim: int = 100, padding: int = 5,
     ``jitter`` nudges the grid off exact vertex/edge alignments so the ray
     parity is robust (SDFGen uses exact predicates instead).
     """
+    if len(mesh.triangles) > max_triangles:
+        # the distance pass is O(grid x triangles): decimate huge meshes
+        # (e.g. YCB google_512k) to a voxelizer-friendly size; at SDFGen's
+        # 100^3 resolution the geometric detail lost is below the cell size
+        mesh = mesh.decimate(max_triangles)
     verts = np.asarray(mesh.vertices, np.float32)
     tris = np.asarray(mesh.triangles, np.int32)
     lo = verts.min(axis=0)

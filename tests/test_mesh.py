@@ -205,3 +205,14 @@ def test_dedupe_grasps():
     configs[3, 3:6] = [1, 0, 0]   # same center as 0, orthogonal axis
     kept = dedupe_grasps(configs, min_dist=0.01)
     assert len(kept) == 3  # rows 0, 2, 3 survive
+
+
+def test_decimate_preserves_shape():
+    m0 = unit_cube().subdivide().subdivide().subdivide()  # 768 tris
+    m = m0.decimate(200)
+    assert len(m.triangles) <= 200
+    assert len(m.triangles) < len(m0.triangles) / 3
+    # volume within 15% (vertex clustering is approximate)
+    assert abs(m.volume() - 1.0) < 0.15
+    lo, hi = m.bounding_box()
+    assert np.all(hi - lo > 0.8)
