@@ -47,14 +47,25 @@ class MetricsLogger:
     def scalar(self, name: str, value: float, step: int):
         if self._tb is not None:
             self._tb.add_scalar(name, value, step)
-        self._jsonl.write(json.dumps({"name": name, "value": float(value),
-                                      "step": int(step), "t": time.time()}) + "\n")
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(
+                {"name": name, "value": float(value), "step": int(step),
+                 "t": time.time()}) + "\n")
+            self._jsonl.flush()
 
     def close(self):
         if self._tb is not None:
             self._tb.close()
-        self._jsonl.close()
+            self._tb = None
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None
+
+    def __del__(self):  # avoid unclosed-file warnings when tests drop Trainers
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 @dataclass
