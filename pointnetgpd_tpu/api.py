@@ -111,11 +111,14 @@ class DexNet:
         target = target_num_grasps or self.config["target_num_grasps"]
         sdf = self.dataset.sdf(key)
 
+        from .grasping.samplers import dedupe_grasps
+
         fn = lambda k: antipodal_sample_grasps(
             sdf, k, max_width=gripper.max_width, min_width=gripper.min_width,
             friction_coef=self.config["friction_coef"])
-        configs, _, _ = sample_until(fn, jax.random.PRNGKey(seed), target)
-        return np.asarray(configs)
+        configs, _, _ = sample_until(fn, jax.random.PRNGKey(seed),
+                                     2 * target)
+        return dedupe_grasps(np.asarray(configs), min_dist=0.0025)[:target]
 
     def compute_simulation_data(self, key: str, gripper: Gripper | None = None,
                                 seed: int = 0, store: bool = True):

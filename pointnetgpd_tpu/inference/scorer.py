@@ -150,12 +150,13 @@ class GraspScorer:
         valid_p = np.zeros((g_pad,), dtype=bool)
         valid_p[:g] = np.asarray(valid)
 
-        pred, prob, votes = score_cloud_batch(
+        out = score_cloud_batch(
             self.params, self.state, jnp.asarray(clouds_p), jnp.asarray(valid_p),
             jax.random.PRNGKey(seed), dual=self.dual,
             num_points=self.num_points, repeat=self.repeat,
         )
-        return np.asarray(pred)[:g], np.asarray(prob)[:g], np.asarray(votes)[:g]
+        pred, prob, votes = jax.device_get(out)  # one transfer
+        return pred[:g], prob[:g], votes[:g]
 
     # ------------------------------------------------------------------
     def score_candidates(self, pc, candidates, hand_depth, width, seed: int = 0):

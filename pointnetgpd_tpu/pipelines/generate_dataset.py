@@ -67,6 +67,11 @@ def label_grasps_for_object(
         configs = np.asarray(sampled.configs)[keep]
         if len(configs) == 0:
             continue
+        # coverage rejection against this round's picks (the reference's
+        # generate_grasps pruning, grasp_sampler.py:153-234)
+        from ..grasping.samplers import dedupe_grasps
+
+        configs = dedupe_grasps(configs, min_dist=0.0025)
 
         configs_dev = jnp.asarray(configs)
         label_fc, label_idx, valid = friction_boundary_labels(
