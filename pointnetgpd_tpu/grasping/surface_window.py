@@ -110,3 +110,24 @@ def surface_information(sdf: sdf_lib.SdfGrid, contact, in_direction,
     hxx, hxy = np.gradient(gx)
     hyx, hyy = np.gradient(gy)
     return SurfaceWindow(proj, (gx, gy), (hxx, hxy), (hyx, hyy))
+
+
+def grasp_surface_information(sdf, contacts, width: float = 2e-2,
+                              num_steps: int = 21):
+    """SurfaceWindows at both contact points of closed grasps
+    (reference: grasp.py:949-968 surface_information — patch features at the
+    jaw contacts). contacts: a Contacts batch (grasping/grasp.py); returns a
+    list of (window_c1, window_c2) per grasp."""
+    import numpy as np
+
+    out = []
+    points = np.asarray(contacts.points)
+    dirs = np.asarray(contacts.in_directions)
+    for g in range(points.shape[0]):
+        out.append((
+            surface_information(sdf, points[g, 0], dirs[g, 0], width,
+                                num_steps),
+            surface_information(sdf, points[g, 1], dirs[g, 1], width,
+                                num_steps),
+        ))
+    return out

@@ -153,11 +153,19 @@ def main(argv=None):
     objects = sorted(
         os.path.join(file_dir, d) for d in os.listdir(file_dir)
         if os.path.isdir(os.path.join(file_dir, d)))
+    # per-object fault tolerance: a failing object is logged and skipped,
+    # like the reference's job-pool refill keeping generation going when a
+    # worker dies (generate-dataset-canny.py:171-179)
     for i, obj_dir in enumerate(objects):
-        generate_for_object_dir(
-            obj_dir, args.out_dir, gripper, seed=args.seed + i,
-            filename_prefix=args.prefix, less_class=args.less_class,
-            grasps_per_class=args.grasps_per_class)
+        try:
+            generate_for_object_dir(
+                obj_dir, args.out_dir, gripper, seed=args.seed + i,
+                filename_prefix=args.prefix, less_class=args.less_class,
+                grasps_per_class=args.grasps_per_class)
+        except Exception as e:
+            with open(os.path.join(args.out_dir, "exceptions.txt"), "a") as f:
+                f.write(f"{obj_dir}: {e}\n")
+            print(f"FAILED {obj_dir}: {e}")
     print("All job done.")
 
 

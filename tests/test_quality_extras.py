@@ -137,3 +137,29 @@ class TestStablePoseSampling:
                 jnp.asarray(cfg[3:6]), jnp.float32(t)))[2, 0]
                 for t in np.linspace(-np.pi, np.pi, 181)]
             assert approach[2] <= min(sweep) + 1e-3
+
+
+class TestConfigRoundTrip:
+    def test_configuration_round_trip(self):
+        """(grasping_test.py:98-127): params -> configuration -> params."""
+        from pointnetgpd_tpu.grasping.grasp import (
+            configuration_from_params,
+            params_from_configuration,
+        )
+
+        rng = np.random.RandomState(0)
+        for _ in range(20):
+            center = jnp.asarray(rng.randn(3) * 0.05)
+            axis = rng.randn(3)
+            axis = jnp.asarray(axis / np.linalg.norm(axis))
+            cfg = configuration_from_params(center, axis, 0.08, 0.3, 0.01,
+                                            0.002)
+            c2, a2, w2, ang2, jw2, mw2 = params_from_configuration(cfg)
+            np.testing.assert_allclose(np.asarray(c2), np.asarray(center),
+                                       atol=1e-7)
+            np.testing.assert_allclose(np.asarray(a2), np.asarray(axis),
+                                       atol=1e-7)
+            assert float(w2) == pytest.approx(0.08)
+            assert float(ang2) == pytest.approx(0.3)
+            assert float(jw2) == pytest.approx(0.01)
+            assert float(mw2) == pytest.approx(0.002)
