@@ -419,12 +419,22 @@ def wrench_in_positive_span(wrench_basis, target_wrench, force_limit,
     step = 1.0 / lip
 
     def project(x):
-        # x >= 0 and per-finger sums <= force_limit
-        x = jnp.maximum(x, 0.0)
-        xf = x.reshape(num_fingers, per)
+        # EXACT Euclidean projection onto {x >= 0, per-finger sum <= F}:
+        # clip negatives; any finger block still over budget projects onto
+        # the scaled simplex {y >= 0, sum y = F} (sorted-threshold algorithm)
+        xf = jnp.maximum(x.reshape(num_fingers, per), 0.0)
         s = jnp.sum(xf, axis=1, keepdims=True)
-        scale = jnp.where(s > force_limit, force_limit / jnp.maximum(s, 1e-30), 1.0)
-        return (xf * scale).reshape(m)
+
+        u = jnp.sort(xf, axis=1)[:, ::-1]
+        css = jnp.cumsum(u, axis=1) - force_limit
+        idxs = jnp.arange(1, per + 1, dtype=x.dtype)
+        cond = u - css / idxs > 0
+        rho = jnp.maximum(jnp.sum(cond, axis=1), 1)
+        theta = jnp.take_along_axis(
+            css, (rho - 1)[:, None].astype(jnp.int32), axis=1) / \
+            rho[:, None].astype(x.dtype)
+        projected = jnp.maximum(xf - theta, 0.0)
+        return jnp.where(s > force_limit, projected, xf).reshape(m)
 
     x0 = jnp.zeros((m,), wrench_basis.dtype)
 

@@ -138,6 +138,16 @@ class GraspScorer:
         k = params["fc3"]["w"].shape[0]
         return cls(params=params, state=state, k=k, **kw)
 
+    def as_dtype(self, dtype) -> "GraspScorer":
+        """A copy with params/BN state cast to ``dtype`` (e.g. jnp.bfloat16
+        for maximum MXU throughput when exact parity is not required)."""
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), t)
+        return GraspScorer(params=cast(self.params), state=cast(self.state),
+                           k=self.k, dual=self.dual,
+                           num_points=self.num_points, repeat=self.repeat,
+                           pad_to=self.pad_to, min_points=self.min_points)
+
     # ------------------------------------------------------------------
     def score_clouds(self, clouds, valid=None, seed: int = 0):
         """clouds: (G, P, 3) cropped candidate clouds (gripper frame)."""
@@ -145,13 +155,15 @@ class GraspScorer:
         g_pad = max(_round_up(g, self.pad_to), self.pad_to)
         if valid is None:
             valid = np.ones((g,), dtype=bool)
+        dtype = self.params["fc3"]["w"].dtype
         clouds_p = np.zeros((g_pad,) + tuple(clouds.shape[1:]), dtype=np.float32)
         clouds_p[:g] = np.asarray(clouds, dtype=np.float32)
         valid_p = np.zeros((g_pad,), dtype=bool)
         valid_p[:g] = np.asarray(valid)
 
         out = score_cloud_batch(
-            self.params, self.state, jnp.asarray(clouds_p), jnp.asarray(valid_p),
+            self.params, self.state, jnp.asarray(clouds_p, dtype=dtype),
+            jnp.asarray(valid_p),
             jax.random.PRNGKey(seed), dual=self.dual,
             num_points=self.num_points, repeat=self.repeat,
         )
@@ -184,8 +196,9 @@ class GraspScorer:
         valid_in = np.zeros((g_pad,), bool)
         valid_in[:g] = True
 
+        dtype = self.params["fc3"]["w"].dtype  # follow the param precision
         out = score_candidates_fused(
-            self.params, self.state, jnp.asarray(pc, dtype=jnp.float32),
+            self.params, self.state, jnp.asarray(pc, dtype=dtype),
             jnp.asarray(cand_p), jnp.asarray(valid_in),
             jnp.float32(hand_depth), jnp.float32(width),
             jax.random.PRNGKey(seed),

@@ -123,3 +123,17 @@ class TestFusedPipeline:
         np.testing.assert_allclose(np.asarray(prob_f), np.asarray(prob),
                                    atol=1e-6)
         np.testing.assert_array_equal(np.asarray(counts_f), np.asarray(counts))
+
+
+def test_bf16_scorer_agrees_with_fp32(model3):
+    """bf16-cast scorer predicts the same classes as fp32 on clear inputs."""
+    params, state = model3
+    rng = np.random.RandomState(4)
+    clouds = rng.randn(6, 200, 3).astype(np.float32)
+    s32 = GraspScorer(params=params, state=state, k=3, num_points=128,
+                      pad_to=8)
+    s16 = s32.as_dtype(jnp.bfloat16)
+    p32, _, _ = s32.score_clouds(clouds, seed=0)
+    p16, _, _ = s16.score_clouds(clouds, seed=0)
+    # class agreement on the large majority (bf16 may flip marginal calls)
+    assert (p32 == p16).mean() >= 0.5
