@@ -1,5 +1,6 @@
 """Geometry core: SDF grids (JAX), triangle meshes, file IO, stable poses."""
 
+from .decomposition import approximate_convex_decomposition
 from .io import read_obj, read_off, read_sdf, write_obj, write_sdf
 from .mesh import Mesh3D
 from .sdf import (

@@ -168,6 +168,57 @@ class TestImageConverter:
             binary_image_to_mesh(np.zeros((8, 8)))
 
 
+class TestConvexDecomposition:
+    @staticmethod
+    def _box(lo, hi):
+        lo, hi = np.asarray(lo, float), np.asarray(hi, float)
+        v = np.array([[x, y, z] for x in (lo[0], hi[0])
+                      for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
+        t = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                      [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                      [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+        return Mesh3D(v, t)
+
+    def test_convex_input_single_piece(self):
+        from pointnetgpd_tpu.geometry.decomposition import (
+            approximate_convex_decomposition,
+        )
+
+        cube = self._box([0, 0, 0], [1, 1, 1])
+        pieces = approximate_convex_decomposition(cube)
+        assert len(pieces) == 1
+        np.testing.assert_allclose(pieces[0].volume(), 1.0, rtol=0.05)
+        assert pieces[0].is_watertight()
+
+    def test_l_shape_splits(self):
+        """Concave L: pieces must cover the solid with far less slack than
+        the single hull (vhacd's success criterion)."""
+        from pointnetgpd_tpu.geometry.decomposition import (
+            approximate_convex_decomposition,
+        )
+
+        l_mesh = self._box([0, 0, 0], [2, 1, 1]).merge(
+            self._box([0, 0, 1], [1, 1, 2]))
+        pieces = approximate_convex_decomposition(
+            l_mesh, max_pieces=8, concavity_tol=0.05)
+        assert len(pieces) >= 2
+        total = sum(p.volume() for p in pieces)
+        hull = l_mesh.convex_hull().volume()  # 3.5; true volume 3.0
+        assert total < 0.95 * hull
+        assert total > 0.9 * l_mesh.volume()  # pieces cover the solid
+        for p in pieces:
+            assert p.is_watertight()
+
+    def test_urdf_uses_pieces(self, tmp_path):
+        from pointnetgpd_tpu.geometry.urdf_writer import UrdfWriter
+
+        l_mesh = self._box([0, 0, 0], [0.2, 0.1, 0.1]).merge(
+            self._box([0, 0, 0.1], [0.1, 0.1, 0.2]))
+        path = UrdfWriter(str(tmp_path / "l")).write(l_mesh, name="l")
+        content = open(path).read()
+        assert "l_piece_1.obj" in content  # multi-piece export
+
+
 class TestUrdfAndStp:
     def test_urdf_writer(self, tmp_path):
         from pointnetgpd_tpu.geometry.urdf_writer import UrdfWriter
