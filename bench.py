@@ -78,6 +78,26 @@ def bench_tpu():
     jax.device_get(outs[-1])
     fetch_ms = (time.perf_counter() - t0) * 1e3
 
+    # bf16 variant (GraspScorer.as_dtype path): max MXU throughput when
+    # checkpoint-level parity is not required
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.bfloat16), t)
+    p16, s16 = cast(scorer.params), cast(scorer.state)
+    pc16 = jax.device_put(jnp.asarray(pc, jnp.bfloat16))
+
+    def scene16(seed):
+        return score_candidates_fused(
+            p16, s16, pc16, cands_dev, valid_in,
+            jnp.float32(0.06), jnp.float32(0.08), jax.random.PRNGKey(seed),
+            num_points=NUM_POINTS, repeat=1, min_points=10)
+
+    jax.block_until_ready(scene16(0))  # compile
+    t0 = time.perf_counter()
+    outs16 = [scene16(i) for i in range(n_iters)]
+    jax.block_until_ready(outs16)
+    dt16 = (time.perf_counter() - t0) / n_iters
+    cand_per_sec_bf16 = N_CANDIDATES / dt16
+
     # train samples/sec/chip (fused crop+fwd+bwd+Adam, batch 128)
     from pointnetgpd_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
     from pointnetgpd_tpu.training.data import SyntheticGraspData
@@ -109,7 +129,7 @@ def bench_tpu():
     dt_train = (time.perf_counter() - t0) / n_train_iters
     train_sps_chip = batch / dt_train / n_chips
 
-    return cand_per_sec, train_sps_chip, dt * 1e3, fetch_ms
+    return cand_per_sec, train_sps_chip, dt * 1e3, fetch_ms, cand_per_sec_bf16
 
 
 def bench_reference_torch():
@@ -154,7 +174,7 @@ def bench_reference_torch():
 
 
 def main():
-    cand_per_sec, train_sps_chip, ms_per_scene, fetch_ms = bench_tpu()
+    cand_per_sec, train_sps_chip, ms_per_scene, fetch_ms, bf16_cps = bench_tpu()
     baseline = bench_reference_torch()
     result = {
         "metric": "grasp_candidates_scored_per_sec_750pt",
@@ -163,6 +183,7 @@ def main():
         "vs_baseline": round(cand_per_sec / baseline, 2) if baseline else None,
         "extras": {
             "scene_latency_ms_512_candidates": round(ms_per_scene, 2),
+            "bf16_candidates_per_sec": round(bf16_cps, 1),
             "result_fetch_ms": round(fetch_ms, 2),
             "train_samples_per_sec_per_chip_750pt_b128": round(train_sps_chip, 1),
             "reference_torch_cpu_candidates_per_sec": round(baseline, 1) if baseline else None,

@@ -236,12 +236,16 @@ def gpg_sample_candidates(
     min_points_above_table: float = 0.010,
     min_open_points: int = 10,
     r_ball: float | None = None,
+    point_frames=None,
 ) -> GpgCandidates:
     """GPG candidate generation on a raw cloud, fully batched
     (GpgGraspSamplerPcl.sample_grasps, grasp_sampler.py:1389-1656).
 
     points: (P, 3) scene cloud (table frame, z up, table at z=0).
     normals: (P, 3) outward (camera-consistent) surface normals.
+    point_frames: optional (P, 3, 3) per-point [normal, major, minor] frames
+        (e.g. SDF-curvature frames); when given they replace the r-ball
+        normal-covariance estimate, making frame selection deterministic.
     Returns up to num_seeds * n_theta packed candidates with validity mask.
     """
     p_total = points.shape[0]
@@ -288,28 +292,38 @@ def gpg_sample_candidates(
         seed = points[si]
         seed_normal = normals[si]
 
-        # r-ball normal covariance -> local frame (grasp_sampler.py:1467-1500)
-        d2 = jnp.sum((points - seed) ** 2, axis=1)
-        in_ball = (d2 <= r_ball * r_ball) & (d2 > 0)
-        # cap the neighbor count like the KD-tree's max_nn=100: keep the
-        # max_neighbors nearest by masking the rest
-        order = jnp.argsort(jnp.where(in_ball, d2, jnp.inf))
-        neighbor_mask = jnp.zeros((p_total,), bool).at[
-            order[:max_neighbors]].set(True) & in_ball
-        nn = normals / jnp.maximum(
-            jnp.linalg.norm(normals, axis=1, keepdims=True), 1e-12)
-        m = jnp.einsum("p,pi,pj->ij", neighbor_mask.astype(dtype), nn, nn)
-        m_ok = jnp.sum(jnp.abs(m)) > 0
+        if point_frames is not None:
+            # precomputed deterministic frame (e.g. SDF curvature directions)
+            new_normal, major_pc, minor_pc = (point_frames[si, 0],
+                                              point_frames[si, 1],
+                                              point_frames[si, 2])
+            m_ok = jnp.linalg.norm(new_normal) > 0.5
+        else:
+            # r-ball normal covariance -> local frame
+            # (grasp_sampler.py:1467-1500)
+            d2 = jnp.sum((points - seed) ** 2, axis=1)
+            in_ball = (d2 <= r_ball * r_ball) & (d2 > 0)
+            # cap the neighbor count like the KD-tree's max_nn=100: keep the
+            # max_neighbors nearest by masking the rest
+            order = jnp.argsort(jnp.where(in_ball, d2, jnp.inf))
+            neighbor_mask = jnp.zeros((p_total,), bool).at[
+                order[:max_neighbors]].set(True) & in_ball
+            nn = normals / jnp.maximum(
+                jnp.linalg.norm(normals, axis=1, keepdims=True), 1e-12)
+            m = jnp.einsum("p,pi,pj->ij", neighbor_mask.astype(dtype), nn, nn)
+            m_ok = jnp.sum(jnp.abs(m)) > 0
 
-        eigval, eigvec = jnp.linalg.eigh(m)
-        minor_pc = eigvec[:, 0] / jnp.linalg.norm(eigvec[:, 0])
-        new_normal = eigvec[:, 2] / jnp.linalg.norm(eigvec[:, 2])
-        major_pc = jnp.cross(minor_pc, new_normal)
-        major_pc = major_pc / jnp.maximum(jnp.linalg.norm(major_pc), 1e-12)
-        # orient with the camera-consistent normal (grasp_sampler.py:1502-1506)
-        flip = jnp.dot(seed_normal, new_normal) < 0
-        new_normal = jnp.where(flip, -new_normal, new_normal)
-        minor_pc = jnp.where(flip, -minor_pc, minor_pc)
+            eigval, eigvec = jnp.linalg.eigh(m)
+            minor_pc = eigvec[:, 0] / jnp.linalg.norm(eigvec[:, 0])
+            new_normal = eigvec[:, 2] / jnp.linalg.norm(eigvec[:, 2])
+            major_pc = jnp.cross(minor_pc, new_normal)
+            major_pc = major_pc / jnp.maximum(
+                jnp.linalg.norm(major_pc), 1e-12)
+            # orient with the camera-consistent normal
+            # (grasp_sampler.py:1502-1506)
+            flip = jnp.dot(seed_normal, new_normal) < 0
+            new_normal = jnp.where(flip, -new_normal, new_normal)
+            minor_pc = jnp.where(flip, -minor_pc, minor_pc)
 
         def one_theta(theta):
             rot = axis_rotation(minor_pc, theta)
@@ -420,7 +434,7 @@ def _sdf_surface_points_and_normals(sdf: sdf_lib.SdfGrid, max_points: int = 2048
     normals = jnp.where(norms > 1e-9, grads / jnp.maximum(norms, 1e-12),
                         jnp.array([0.0, 0.0, 1.0], grads.dtype))
     pts_world = sdf_lib.grid_to_world(sdf, pts_grid)
-    return pts_world, normals
+    return pts_world, normals, pts_grid
 
 
 def _visible_filter(pts, normals, camera_pos):
@@ -429,23 +443,66 @@ def _visible_filter(pts, normals, camera_pos):
     the hand's palm region almost always contains far-side points, so the
     SDF-backed variants emulate the camera's partial view."""
     to_cam = jnp.asarray(camera_pos) - pts
-    facing = jnp.sum(to_cam * normals, axis=1) > 0
-    return pts[facing], normals[facing]
+    return jnp.sum(to_cam * normals, axis=1) > 0
+
+
+def _curvature_frames(sdf: sdf_lib.SdfGrid, pts_grid, normals):
+    """Deterministic per-point [normal, major, minor] frames from SDF
+    principal-curvature directions.
+
+    The covariance estimator (grasp_sampler.py:1467-1500, reproduced in
+    gpg_sample_candidates) degenerates on near-isotropic neighborhoods —
+    the minor axis becomes an eigen-lottery (both here and in the
+    reference). The shape operator fixes that: in the tangent plane of the
+    gradient normal, eigendirections of the projected SDF Hessian give the
+    principal curvature directions. The minimum-|curvature| direction is
+    where normals vary LEAST == the covariance estimator's minor_pc, but
+    computed in closed form from local geometry.
+    """
+    from .quality import tangents_from_direction
+
+    hess = sdf_lib.curvature(sdf, pts_grid, delta=0.5)  # (P, 3, 3) grid units
+
+    def one(n, h):
+        _, t1, t2 = tangents_from_direction(-n)  # deterministic tangent basis
+        s = jnp.stack([
+            jnp.stack([t1 @ h @ t1, t1 @ h @ t2]),
+            jnp.stack([t2 @ h @ t1, t2 @ h @ t2])])  # 2x2 shape operator
+        w, v = jnp.linalg.eigh(s)
+        pick = jnp.argmin(jnp.abs(w))        # min |curvature| -> minor
+        minor = v[0, pick] * t1 + v[1, pick] * t2
+        minor = minor / jnp.maximum(jnp.linalg.norm(minor), 1e-12)
+        major = jnp.cross(minor, n)
+        major = major / jnp.maximum(jnp.linalg.norm(major), 1e-12)
+        return jnp.stack([n, major, minor])
+
+    return jax.vmap(one)(normals, hess)
 
 
 def gpg_sample_grasps_sdf(sdf: sdf_lib.SdfGrid, key, gripper: Gripper,
                           *, max_surface_points: int = 2048,
                           camera_pos=(0.0, 0.0, 1.0),
+                          curvature_frames: bool = False,
                           **gpg_kwargs) -> GpgCandidates:
     """GPG on an SDF object (GpgGraspSampler, grasp_sampler.py:806-982):
     the same grid-search/approach loop as the cloud variant, with surface
     points and normals taken from the SDF, filtered to the camera-visible
-    hemisphere (see _visible_filter)."""
+    hemisphere (see _visible_filter).
+
+    curvature_frames=True replaces the covariance frame estimate with
+    deterministic SDF principal-curvature frames (_curvature_frames),
+    removing the eigen-lottery on near-isotropic neighborhoods."""
     k_pts, k_gpg = jax.random.split(key)
-    pts, normals = _sdf_surface_points_and_normals(sdf, max_surface_points,
-                                                   k_pts)
-    pts, normals = _visible_filter(pts, normals, camera_pos)
+    pts, normals, pts_grid = _sdf_surface_points_and_normals(
+        sdf, max_surface_points, k_pts)
+    vis = _visible_filter(pts, normals, camera_pos)
+    pts, normals, pts_grid = pts[vis], normals[vis], pts_grid[vis]
+    if pts.shape[0] == 0:  # nothing faces the camera: no candidates
+        return GpgCandidates(jnp.zeros((0, 5, 3), pts.dtype),
+                             jnp.zeros((0,), bool))
     gpg_kwargs.setdefault("r_ball", gripper.hand_height)
+    if curvature_frames:
+        gpg_kwargs["point_frames"] = _curvature_frames(sdf, pts_grid, normals)
     return gpg_sample_candidates(pts, normals, k_gpg, gripper, **gpg_kwargs)
 
 
@@ -460,10 +517,14 @@ def point_sample_grasps_sdf(sdf: sdf_lib.SdfGrid, key, gripper: Gripper,
     marks "need to totally rewrite" (:988); this sampler supersedes both.
     """
     k_pts, k_bias, k_gpg = jax.random.split(key, 3)
-    pts, normals = _sdf_surface_points_and_normals(sdf, max_surface_points,
-                                                   k_pts)
-    pts, normals = _visible_filter(pts, normals,
-                                   gpg_kwargs.pop("camera_pos", (0.0, 0.0, 1.0)))
+    pts, normals, _ = _sdf_surface_points_and_normals(sdf, max_surface_points,
+                                                      k_pts)
+    vis = _visible_filter(pts, normals,
+                          gpg_kwargs.pop("camera_pos", (0.0, 0.0, 1.0)))
+    pts, normals = pts[vis], normals[vis]
+    if pts.shape[0] == 0:  # nothing faces the camera: no candidates
+        return GpgCandidates(jnp.zeros((0, 5, 3), pts.dtype),
+                             jnp.zeros((0,), bool))
     z = pts[:, 2]
     z_min, z_max = jnp.min(z), jnp.max(z)
     sigma = jnp.maximum((z_max - z_min) / height_sigma_frac, 1e-6)

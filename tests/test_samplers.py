@@ -231,3 +231,80 @@ class TestGpgSampler:
             # frame orthonormal
             rot = np.stack([approach, major, minor])
             np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
+
+
+class TestCurvatureFrames:
+    """Deterministic SDF principal-curvature frames (the fix for the
+    covariance estimator's eigen-lottery on isotropic neighborhoods)."""
+
+    @staticmethod
+    def _cylinder_sdf(radius=0.05, dim=40, res=0.004):
+        origin = -res * (dim - 1) / 2 * np.ones(3)
+        ii, jj, kk = np.meshgrid(*(np.arange(dim),) * 3, indexing="ij")
+        pts = origin + res * np.stack([ii, jj, kk], axis=-1)
+        from pointnetgpd_tpu.geometry.sdf import make_sdf
+
+        return make_sdf(np.linalg.norm(pts[..., :2], axis=-1) - radius,
+                        origin, res)
+
+    def test_cylinder_minor_axis_is_rule_direction(self):
+        """On a cylinder the minimum-curvature direction IS the axis: every
+        frame's minor axis must align with z."""
+        from pointnetgpd_tpu.grasping.samplers import (
+            _curvature_frames,
+            _sdf_surface_points_and_normals,
+        )
+
+        sdf = self._cylinder_sdf()
+        pts, normals, pts_grid = _sdf_surface_points_and_normals(
+            sdf, 512, jax.random.PRNGKey(0))
+        frames = _curvature_frames(sdf, pts_grid, normals)
+        interior = np.abs(np.asarray(pts)[:, 2]) < 0.06  # skip grid-cut caps
+        minor_z = np.abs(np.asarray(frames[:, 2])[interior, 2])
+        assert minor_z.min() > 0.99
+        # orthonormal right-handed frames
+        f = np.asarray(frames[interior])
+        for row in f[:20]:
+            rot = row  # [normal, major, minor]
+            np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-4)
+
+    def test_frames_deterministic(self):
+        from pointnetgpd_tpu.grasping.samplers import (
+            _curvature_frames,
+            _sdf_surface_points_and_normals,
+        )
+
+        sdf = self._cylinder_sdf()
+        _, normals, pts_grid = _sdf_surface_points_and_normals(
+            sdf, 256, jax.random.PRNGKey(1))
+        a = _curvature_frames(sdf, pts_grid, normals)
+        b = _curvature_frames(sdf, pts_grid, normals)
+        assert bool(jnp.all(a == b))
+
+    def test_gpg_sdf_curvature_mode_executes(self):
+        """curvature_frames=True runs the full sampler path and returns
+        well-formed candidates (acceptance on closed SDF surfaces is
+        characterized in tests/test_extras.py — same as the reference)."""
+        from pointnetgpd_tpu.grasping.samplers import gpg_sample_grasps_sdf
+
+        sdf = self._cylinder_sdf(radius=0.02)
+        # side camera: the cylinder's radial normals never face a camera
+        # directly above it
+        out = gpg_sample_grasps_sdf(sdf, jax.random.PRNGKey(0), Gripper(),
+                                    curvature_frames=True, num_seeds=8,
+                                    max_surface_points=512,
+                                    camera_pos=(1.0, 0.0, 0.0))
+        assert out.frames.shape[1:] == (5, 3)
+        assert out.valid.shape[0] == out.frames.shape[0]
+        assert np.isfinite(np.asarray(out.frames)).all()
+
+    def test_no_visible_points_returns_empty(self):
+        """A camera the whole surface faces away from -> zero candidates,
+        not a crash."""
+        from pointnetgpd_tpu.grasping.samplers import gpg_sample_grasps_sdf
+
+        sdf = self._cylinder_sdf(radius=0.02)
+        out = gpg_sample_grasps_sdf(sdf, jax.random.PRNGKey(0), Gripper(),
+                                    num_seeds=8, max_surface_points=256,
+                                    camera_pos=(0.0, 0.0, 1.0))
+        assert out.frames.shape[0] == 0 and out.valid.shape[0] == 0
