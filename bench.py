@@ -83,11 +83,10 @@ def bench_tpu():
     cast = lambda t: jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.bfloat16), t)
     p16, s16 = cast(scorer.params), cast(scorer.state)
-    pc16 = jax.device_put(jnp.asarray(pc, jnp.bfloat16))
 
     def scene16(seed):
         return score_candidates_fused(
-            p16, s16, pc16, cands_dev, valid_in,
+            p16, s16, pc_dev, cands_dev, valid_in,
             jnp.float32(0.06), jnp.float32(0.08), jax.random.PRNGKey(seed),
             num_points=NUM_POINTS, repeat=1, min_points=10)
 

@@ -56,6 +56,9 @@ def score_cloud_batch(params, state, clouds, valid, key, *,
 
     rep_clouds = jnp.repeat(clouds, repeat, axis=0)  # (G*R, P, C)
     batch = jax.vmap(resample)(rep_clouds, keys)     # (G*R, N, C)
+    # follow the param precision at the matmul boundary (bf16 inference via
+    # GraspScorer.as_dtype): geometry stays fp32, the MXU work casts here
+    batch = batch.astype(params["fc3"]["w"].dtype)
 
     (logp, _), _ = apply_pointnet_cls(params, state, batch, train=False, dual=dual)
     probs = jax.nn.softmax(logp, axis=-1)            # reference quirk (main_test.py:66)
@@ -113,6 +116,13 @@ class GraspScorer:
     Candidate counts vary per frame; we pad the candidate axis up to a
     multiple of ``pad_to`` so XLA compiles one program per bucket instead of
     one per frame.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — candidates are sharded over
+    its first axis (data-parallel inference over ICI) with the model
+    replicated; each candidate's forward is independent, so no cross-device
+    collectives are needed and results are identical to single-device. This
+    replaces the reference's 20-worker multiprocessing fan-out
+    (kinect2grasp.py:157-173) at the chip level.
     """
 
     params: Any
@@ -123,12 +133,39 @@ class GraspScorer:
     repeat: int = 1
     pad_to: int = 64
     min_points: int = 50  # minimal_points_send_to_point_net analogue
+    mesh: Any = None
     _best_class: int = field(init=False)
 
     def __post_init__(self):
         # 3-class: best is class 2; 2-class: best is class 1
         # (kinect2grasp.py:485-488)
         self._best_class = self.k - 1
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate_tree
+
+            n = len(self.mesh.devices.flatten())
+            # candidate padding must tile evenly over the mesh
+            self.pad_to = max(self.pad_to, n) if self.pad_to % n == 0 \
+                else self.pad_to * n
+            self.params = replicate_tree(self.params, self.mesh)
+            self.state = replicate_tree(self.state, self.mesh)
+
+    def _shard_batch(self, *arrays):
+        """Place candidate-axis arrays sharded over the mesh (or as-is)."""
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from ..parallel.mesh import batch_sharding
+
+        sh = batch_sharding(self.mesh, self.mesh.axis_names[0])
+        return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
+
+    def _replicate(self, *arrays):
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from ..parallel.mesh import replicated
+
+        sh = replicated(self.mesh)
+        return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
 
     @classmethod
     def from_torch_checkpoint(cls, path, ref_paths=(), **kw):
@@ -146,7 +183,8 @@ class GraspScorer:
         return GraspScorer(params=cast(self.params), state=cast(self.state),
                            k=self.k, dual=self.dual,
                            num_points=self.num_points, repeat=self.repeat,
-                           pad_to=self.pad_to, min_points=self.min_points)
+                           pad_to=self.pad_to, min_points=self.min_points,
+                           mesh=self.mesh)
 
     # ------------------------------------------------------------------
     def score_clouds(self, clouds, valid=None, seed: int = 0):
@@ -155,15 +193,15 @@ class GraspScorer:
         g_pad = max(_round_up(g, self.pad_to), self.pad_to)
         if valid is None:
             valid = np.ones((g,), dtype=bool)
-        dtype = self.params["fc3"]["w"].dtype
         clouds_p = np.zeros((g_pad,) + tuple(clouds.shape[1:]), dtype=np.float32)
         clouds_p[:g] = np.asarray(clouds, dtype=np.float32)
         valid_p = np.zeros((g_pad,), dtype=bool)
         valid_p[:g] = np.asarray(valid)
 
+        clouds_d, valid_d = self._shard_batch(jnp.asarray(clouds_p),
+                                              jnp.asarray(valid_p))
         out = score_cloud_batch(
-            self.params, self.state, jnp.asarray(clouds_p, dtype=dtype),
-            jnp.asarray(valid_p),
+            self.params, self.state, clouds_d, valid_d,
             jax.random.PRNGKey(seed), dual=self.dual,
             num_points=self.num_points, repeat=self.repeat,
         )
@@ -196,10 +234,11 @@ class GraspScorer:
         valid_in = np.zeros((g_pad,), bool)
         valid_in[:g] = True
 
-        dtype = self.params["fc3"]["w"].dtype  # follow the param precision
+        (pc_d,) = self._replicate(jnp.asarray(pc, dtype=jnp.float32))
+        cand_d, valid_d = self._shard_batch(jnp.asarray(cand_p),
+                                            jnp.asarray(valid_in))
         out = score_candidates_fused(
-            self.params, self.state, jnp.asarray(pc, dtype=dtype),
-            jnp.asarray(cand_p), jnp.asarray(valid_in),
+            self.params, self.state, pc_d, cand_d, valid_d,
             jnp.float32(hand_depth), jnp.float32(width),
             jax.random.PRNGKey(seed),
             dual=self.dual, num_points=self.num_points, repeat=self.repeat,

@@ -137,3 +137,55 @@ def test_bf16_scorer_agrees_with_fp32(model3):
     p16, _, _ = s16.score_clouds(clouds, seed=0)
     # class agreement on the large majority (bf16 may flip marginal calls)
     assert (p32 == p16).mean() >= 0.5
+
+
+class TestShardedInference:
+    """Data-parallel inference over a mesh: candidates sharded, model
+    replicated — per-candidate forwards are independent, so sharded results
+    must equal single-device results exactly."""
+
+    def test_score_candidates_sharded_equals_unsharded(self, model3):
+        from pointnetgpd_tpu.parallel.mesh import make_mesh
+
+        params, state = model3
+        rng = np.random.RandomState(7)
+        pc = (rng.rand(1200, 3) * 0.08).astype(np.float32)
+        g = 20
+        cands = np.zeros((g, 5, 3), np.float32)
+        cands[:, 0] = rng.rand(g, 3) * 0.08
+        cands[:, 0, 0] -= 0.02
+        cands[:, 1] = [1, 0, 0]
+        cands[:, 2] = [0, 1, 0]
+        cands[:, 3] = [0, 0, 1]
+
+        base = GraspScorer(params=params, state=state, k=3, num_points=128,
+                           pad_to=8, min_points=5)
+        mesh = make_mesh()
+        assert len(mesh.devices.flatten()) == 8
+        sharded = GraspScorer(params=params, state=state, k=3,
+                              num_points=128, pad_to=8, min_points=5,
+                              mesh=mesh)
+        a = base.score_candidates(pc, cands, hand_depth=0.05, width=0.08,
+                                  seed=3)
+        b = sharded.score_candidates(pc, cands, hand_depth=0.05, width=0.08,
+                                     seed=3)
+        np.testing.assert_array_equal(a["pred"], b["pred"])
+        np.testing.assert_allclose(a["prob"], b["prob"], atol=1e-6)
+        np.testing.assert_array_equal(a["counts"], b["counts"])
+        np.testing.assert_array_equal(a["good_indices"], b["good_indices"])
+
+    def test_score_clouds_sharded_pad_not_multiple(self, model3):
+        from pointnetgpd_tpu.parallel.mesh import make_mesh
+
+        params, state = model3
+        rng = np.random.RandomState(8)
+        clouds = rng.randn(5, 100, 3).astype(np.float32)  # 5 !% 8
+        base = GraspScorer(params=params, state=state, k=3, num_points=64,
+                           pad_to=4)
+        sharded = GraspScorer(params=params, state=state, k=3, num_points=64,
+                              pad_to=4, mesh=make_mesh())
+        assert sharded.pad_to % 8 == 0
+        pa, qa, _ = base.score_clouds(clouds, seed=1)
+        pb, qb, _ = sharded.score_clouds(clouds, seed=1)
+        np.testing.assert_array_equal(pa, pb)
+        np.testing.assert_allclose(qa, qb, atol=1e-6)
