@@ -7,6 +7,8 @@ from .crop import (
     crop_closing_region,
     grasp_frame_from_config,
 )
+from .mesh_to_sdf import mesh_to_sdf
+from .pointnet_trunk_pallas import fold_trunk_params, fused_trunk
 from .projection import gpd_projection_features, project_to_image
 
 __all__ = [s for s in dir() if not s.startswith("_")]

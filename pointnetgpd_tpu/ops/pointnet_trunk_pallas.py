@@ -17,6 +17,12 @@ inference path:
 Training keeps the autodiffable jnp path; this kernel serves batched
 inference. Numerics match the unfused eval forward to fp32 tolerance
 (tests/test_pallas_trunk.py, interpret mode on CPU + real TPU when available).
+
+Measured on one v5e chip at the scorer's shapes (B=512, N=750): XLA 0.043 ms,
+this kernel 0.050 ms, outputs bit-identical — XLA's automatic fusion already
+keeps the trunk MXU-bound at these sizes, so the jnp path remains the product
+default and the kernel documents the VMEM-resident alternative (it wins only
+when N grows past what HBM-backed fusion tolerates).
 """
 
 from __future__ import annotations
@@ -58,14 +64,19 @@ def fold_trunk_params(params, state):
 
 def _trunk_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                   out_ref):
-    """One sample per program: (N, C) points -> (1024,) max-pooled feature."""
+    """One sample per program: (N, C) points -> (1, 1024) max-pooled feature.
+
+    The output block is (1, 1, 1024) — a full (1, 1024) trailing tile — so
+    the kernel lowers on real TPU hardware (the Mosaic tiling rule wants the
+    last two block dims divisible by (8, 128) or equal to the array dims)."""
     x = x_ref[0]  # (N, C_in_padded)
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
     h = jnp.maximum(h, 0.0)
     h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
     h = jnp.maximum(h, 0.0)
     h = jnp.dot(h, w3_ref[:], preferred_element_type=jnp.float32) + b3_ref[:]
-    out_ref[0] = jnp.max(h, axis=0)  # no relu before the pool (ref :147)
+    # no relu before the pool (ref :147)
+    out_ref[0, 0] = jnp.max(h, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -88,7 +99,7 @@ def fused_trunk(x, folded, *, interpret: bool = False):
     else:
         spec = lambda shape, imap=None: pl.BlockSpec(shape, imap)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _trunk_kernel,
         grid=(b,),
         in_specs=[
@@ -100,10 +111,11 @@ def fused_trunk(x, folded, *, interpret: bool = False):
             spec(w3.shape, lambda i: (0, 0)),
             spec(b3.shape, lambda i: (0,)),
         ],
-        out_specs=spec((1, 1024), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, 1024), jnp.float32),
+        out_specs=spec((1, 1, 1024), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, 1024), jnp.float32),
         interpret=interpret,
     )(x, w1, b1, w2, b2, w3, b3)
+    return out[:, 0]
 
 
 def trunk_reference(x, folded):
