@@ -7,7 +7,13 @@ reference robust_grasp_quality.py:126-166).
 """
 
 from .analysis import ClassificationResult, ConfusionMatrix, RegressionResult
-from .models import BernoulliModel, BetaBernoulliModel, GaussianModel
+from .models import (
+    BernoulliModel,
+    BetaBernoulliModel,
+    CorrelatedBetaBernoulliModel,
+    GaussianModel,
+    SquaredExponentialKernel,
+)
 from .objectives import (
     MinimizationObjective,
     Objective,
@@ -15,6 +21,7 @@ from .objectives import (
     RandomContinuousObjective,
 )
 from .policies import (
+    BetaBernoulliBayesUCBPolicy,
     MaxDiscreteSelectionPolicy,
     ThompsonSelectionPolicy,
     UniformSelectionPolicy,
@@ -23,6 +30,10 @@ from .policies import (
 from .samplers import (
     AdaptiveSamplingResult,
     BetaBernoulliBandit,
+    CorrelatedBayesUCB,
+    CorrelatedBetaBernoulliBandit,
+    CorrelatedGittins,
+    CorrelatedThompsonSampling,
     DiscreteAdaptiveSampler,
     GaussianBandit,
     GaussianUniformAllocationMean,
@@ -39,12 +50,16 @@ from .tensor_dataset import Tensor, TensorDatapoint, TensorDataset
 
 __all__ = [
     "ClassificationResult", "ConfusionMatrix", "RegressionResult",
-    "BernoulliModel", "BetaBernoulliModel", "GaussianModel",
+    "BernoulliModel", "BetaBernoulliModel", "CorrelatedBetaBernoulliModel",
+    "GaussianModel", "SquaredExponentialKernel",
     "MinimizationObjective", "Objective", "RandomBinaryObjective",
     "RandomContinuousObjective",
-    "MaxDiscreteSelectionPolicy", "ThompsonSelectionPolicy",
-    "UniformSelectionPolicy", "UCBSelectionPolicy",
-    "AdaptiveSamplingResult", "BetaBernoulliBandit", "DiscreteAdaptiveSampler",
+    "BetaBernoulliBayesUCBPolicy", "MaxDiscreteSelectionPolicy",
+    "ThompsonSelectionPolicy", "UniformSelectionPolicy", "UCBSelectionPolicy",
+    "AdaptiveSamplingResult", "BetaBernoulliBandit",
+    "CorrelatedBayesUCB", "CorrelatedBetaBernoulliBandit",
+    "CorrelatedGittins", "CorrelatedThompsonSampling",
+    "DiscreteAdaptiveSampler",
     "GaussianBandit", "GaussianUniformAllocationMean", "ThompsonSampling",
     "UniformAllocationMean",
     "AndTerminationCondition", "MaxIterTerminationCondition",

@@ -170,3 +170,78 @@ class GaussianModel(DiscreteModel):
         return GaussianSnapshot(int(best), self.num_obs_.copy(),
                                 self.means_.copy(), self.variances.copy(),
                                 self.sample_vars.copy())
+
+
+class SquaredExponentialKernel:
+    """k(x, y) = exp(-||x - y||^2 / (2 l^2)) over candidate feature vectors
+    (the reference's CCBP kernel, supplied there by autolab_core;
+    models.py:423-487 consumer)."""
+
+    def __init__(self, length_scale: float = 1.0):
+        self.length_scale = float(length_scale)
+
+    def __call__(self, x, y):
+        d2 = np.sum((np.asarray(x, float) - np.asarray(y, float)) ** 2)
+        return float(np.exp(-d2 / (2.0 * self.length_scale ** 2)))
+
+    def vector(self, x, ys):
+        """k(x, y_i) for all rows y_i — the vectorized within-radius lookup."""
+        d2 = np.sum((np.asarray(ys, float) - np.asarray(x, float)) ** 2,
+                    axis=1)
+        return np.exp(-d2 / (2.0 * self.length_scale ** 2))
+
+    def matrix(self, ys):
+        ys = np.asarray(ys, float)
+        d2 = np.sum((ys[:, None] - ys[None]) ** 2, axis=-1)
+        return np.exp(-d2 / (2.0 * self.length_scale ** 2))
+
+
+class CorrelatedBetaBernoulliModel(BetaBernoulliModel):
+    """Continuous Correlated Beta Process: one observation updates every
+    candidate within the kernel's tolerance radius, weighted by the kernel
+    (reference: models.py:423-487 CorrelatedBetaBernoulliModel).
+
+    Re-design: the reference walks a nearest-neighbor structure and loops the
+    neighbors per update; ``k >= tolerance`` IS the within-error-radius test
+    for a monotone kernel, so the update is one vectorized kernel row —
+    alphas += value * k, betas += (1 - value) * k, zeroed below tolerance.
+    ``snapshot`` predicts by the lower confidence bound at level ``p``
+    (models.py lcb_prediction), not the posterior mean.
+    """
+
+    def __init__(self, candidate_features, kernel=None, tolerance: float = 1e-2,
+                 alpha_prior: float = 1.0, beta_prior: float = 1.0,
+                 p: float = 0.95):
+        feats = np.asarray(candidate_features, float)
+        if feats.ndim == 1:
+            feats = feats[:, None]
+        super().__init__(len(feats), alpha_prior, beta_prior)
+        self.features_ = feats
+        self.kernel_ = kernel or SquaredExponentialKernel()
+        self.tolerance_ = float(tolerance)
+        self.p_ = float(p)
+
+    def update(self, index, value):
+        if not 0.0 <= value <= 1.0:
+            raise ValueError("values must be within [0, 1]")
+        k = self.kernel_.vector(self.features_[index], self.features_)
+        k = np.where(k >= self.tolerance_, k, 0.0)
+        self.alphas_ += value * k
+        self.betas_ += (1.0 - value) * k
+        self.num_obs_[index] += 1
+
+    def lcb_prediction(self, p: float | None = None):
+        """(best indices, means, vars) ranked by the Beta lower confidence
+        bound at level p."""
+        import scipy.stats as ss
+
+        p = self.p_ if p is None else p
+        lcb, _ = ss.beta.interval(p, self.alphas_, self.betas_)
+        idx = np.where(lcb == np.max(lcb))[0]
+        means, variances = self.predict_all()
+        return idx, means[idx], variances[idx]
+
+    def snapshot(self):
+        best = self.lcb_prediction()[0][0]
+        return BetaBernoulliSnapshot(int(best), self.num_obs_.copy(),
+                                     self.alphas_.copy(), self.betas_.copy())

@@ -53,3 +53,27 @@ class UCBSelectionPolicy(DiscreteSelectionPolicy):
     def choose_next(self, rng=None):
         means, variances = self.model_.predict_all()
         return int(np.argmax(means + self.beta * np.sqrt(variances)))
+
+
+class BetaBernoulliBayesUCBPolicy(DiscreteSelectionPolicy):
+    """Bayes-UCB (Kaufmann et al.): pick the arm with the largest
+    1 - 1/(t log(n)^c) Beta quantile (reference:
+    discrete_selection_policies.py BetaBernoulliBayesUCBPolicy)."""
+
+    def __init__(self, horizon: int = 1000, c: int = 6):
+        super().__init__()
+        self.t_ = 1
+        self.horizon_ = horizon
+        self.c_ = c
+
+    def choose_next(self, rng=None):
+        import scipy.stats as ss
+
+        rng = rng or np.random
+        gamma = 1.0 - 1.0 / (self.t_ * np.log(self.horizon_) ** self.c_)
+        _, ucbs = ss.beta.interval(gamma, self.model_.posterior_alphas,
+                                   self.model_.posterior_betas)
+        best = np.where(ucbs == np.max(ucbs))[0]
+        self.t_ += 1
+        return int(best[rng.choice(len(best))]) if hasattr(rng, "choice") \
+            else int(best[0])

@@ -132,3 +132,48 @@ class GaussianThompsonSampling(GaussianBandit):
 class GaussianUCBSampling(GaussianBandit):
     def __init__(self, objective, candidates):
         super().__init__(objective, candidates, UCBSelectionPolicy())
+
+
+# ---------------------------------------------------------------------------
+# Correlated (CCBP) bandits (discrete_adaptive_samplers.py:376-503)
+# ---------------------------------------------------------------------------
+
+class CorrelatedBetaBernoulliBandit(DiscreteAdaptiveSampler):
+    """Bandit over a CorrelatedBetaBernoulliModel: one pull informs every
+    kernel-near candidate (discrete_adaptive_samplers.py:376-413).
+    ``candidate_features`` are the kernel inputs (defaults to the candidates
+    themselves when they are numeric vectors)."""
+
+    def __init__(self, objective, candidates, policy, kernel=None,
+                 candidate_features=None, tolerance=1e-4, alpha_prior=1.0,
+                 beta_prior=1.0, p=0.95):
+        from .models import CorrelatedBetaBernoulliModel
+
+        feats = candidates if candidate_features is None else candidate_features
+        model = CorrelatedBetaBernoulliModel(
+            feats, kernel=kernel, tolerance=tolerance,
+            alpha_prior=alpha_prior, beta_prior=beta_prior, p=p)
+        super().__init__(objective, candidates, model, policy)
+
+
+class CorrelatedThompsonSampling(CorrelatedBetaBernoulliBandit):
+    def __init__(self, objective, candidates, **kw):
+        super().__init__(objective, candidates, ThompsonSelectionPolicy(),
+                         **kw)
+
+
+class CorrelatedBayesUCB(CorrelatedBetaBernoulliBandit):
+    def __init__(self, objective, candidates, horizon=1000, c=6, **kw):
+        from .policies import BetaBernoulliBayesUCBPolicy
+
+        super().__init__(objective, candidates,
+                         BetaBernoulliBayesUCBPolicy(horizon=horizon, c=c),
+                         **kw)
+
+
+class CorrelatedGittins(CorrelatedBetaBernoulliBandit):
+    """UCB stand-in for the reference's 1998 Gittins table (same documented
+    deviation as GittinsIndex98)."""
+
+    def __init__(self, objective, candidates, **kw):
+        super().__init__(objective, candidates, UCBSelectionPolicy(), **kw)

@@ -135,3 +135,75 @@ class TestRobustQuality:
         assert means.shape == (1,) and stds.shape == (1,)
         assert means[0] > 0
         assert np.isfinite(stds[0])
+
+
+class TestCorrelatedBandits:
+    """CCBP model + correlated bandits (discrete_adaptive_samplers.py:376-503)."""
+
+    def test_update_spreads_to_neighbors(self):
+        from pointnetgpd_tpu.learning import (
+            CorrelatedBetaBernoulliModel,
+            SquaredExponentialKernel,
+        )
+
+        feats = np.array([[0.0], [0.1], [5.0]])
+        m = CorrelatedBetaBernoulliModel(
+            feats, kernel=SquaredExponentialKernel(0.5), tolerance=1e-2)
+        m.update(0, 1.0)
+        # the near neighbor (0.1) gains almost as much alpha; the far one none
+        assert m.alphas_[0] == pytest.approx(2.0)
+        assert 1.9 < m.alphas_[1] < 2.0
+        assert m.alphas_[2] == pytest.approx(1.0)  # below tolerance: no update
+        np.testing.assert_allclose(m.betas_, 1.0)
+
+    def test_correlated_converges_faster_than_independent(self):
+        """On a smooth objective, sharing reward mass across kernel-near arms
+        finds the best arm with fewer pulls than independent Thompson."""
+        from pointnetgpd_tpu.learning import (
+            CorrelatedThompsonSampling,
+            MaxIterTerminationCondition,
+            SquaredExponentialKernel,
+            ThompsonSampling,
+        )
+
+        xs = np.linspace(0.0, 1.0, 40)
+        probs = np.exp(-((xs - 0.7) ** 2) / 0.02)  # peak at arm ~28
+        best_arm = int(np.argmax(probs))
+
+        def run(cls, seed, **kw):
+            rng = np.random.RandomState(seed)
+            obj = lambda x: float(rng.rand() < probs[
+                int(np.searchsorted(xs, x, "left"))])
+            bandit = cls(obj, list(xs), **kw)
+            res = bandit.discrete_maximize(
+                MaxIterTerminationCondition(150), rng=rng)
+            return res
+
+        hits_corr = 0
+        hits_ind = 0
+        for seed in range(5):
+            rc = run(CorrelatedThompsonSampling, seed,
+                     kernel=SquaredExponentialKernel(0.08), tolerance=1e-3)
+            ri = run(ThompsonSampling, seed)
+            xc = rc.best_candidates[0]
+            xi = ri.best_candidates[0]
+            hits_corr += abs(xc - xs[best_arm]) < 0.1
+            hits_ind += abs(xi - xs[best_arm]) < 0.1
+        assert hits_corr >= hits_ind  # sharing never hurts here
+        assert hits_corr >= 4
+
+    def test_bayes_ucb_and_gittins_run(self):
+        from pointnetgpd_tpu.learning import (
+            CorrelatedBayesUCB,
+            CorrelatedGittins,
+            MaxIterTerminationCondition,
+        )
+
+        rng = np.random.RandomState(0)
+        xs = np.linspace(0, 1, 10)
+        obj = lambda x: float(rng.rand() < x)
+        for cls in (CorrelatedBayesUCB, CorrelatedGittins):
+            res = cls(obj, list(xs), tolerance=1e-3).discrete_maximize(
+                MaxIterTerminationCondition(60), rng=rng)
+            assert res.best_candidates[0] >= 0.5  # found a high arm
+            assert len(res.vals) == 60
