@@ -18,6 +18,8 @@ from .grasp import (
     endpoints,
     grasp_distance,
     grasp_from_contact_and_axis,
+    vacuum_configuration_from_params,
+    vacuum_params_from_configuration,
     grasp_from_endpoints,
     params_from_configuration,
     t_grasp_obj,

@@ -405,3 +405,34 @@ def grasp_from_contact_and_axis(sdf: sdf_lib.SdfGrid, c1_world, axis_world,
         in_directions=jnp.stack([axis_world, -axis_world]),
     )
     return config, contacts, valid
+
+
+# ---------------------------------------------------------------------------
+# Vacuum grasps (reference: grasp.py:969-1020 VacuumPoint)
+# ---------------------------------------------------------------------------
+
+def vacuum_configuration_from_params(center, axis):
+    """5-DOF vacuum target -> 6-vector [center, unit axis]
+    (VacuumPoint.configuration_from_params, grasp.py:995-1003).
+    Host-side numpy: these are config-assembly utilities, not device code."""
+    import numpy as _np
+
+    center = _np.asarray(center, dtype=float)
+    axis = _np.asarray(axis, dtype=float)
+    if abs(_np.linalg.norm(axis) - 1.0) > 1e-5:
+        raise ValueError("vacuum axis must be unit-norm")
+    return _np.concatenate([center, axis])
+
+
+def vacuum_params_from_configuration(configuration):
+    """6-vector -> (center, axis) with the reference's unit-axis check
+    (VacuumPoint.params_from_configuration, grasp.py:1005-1020)."""
+    import numpy as _np
+
+    configuration = _np.asarray(configuration, dtype=float)
+    if configuration.shape[-1] != 6:
+        raise ValueError("vacuum configuration must have 6 entries")
+    axis = configuration[..., 3:6]
+    if _np.max(_np.abs(_np.linalg.norm(axis, axis=-1) - 1.0)) > 1e-5:
+        raise ValueError("vacuum axis must be unit-norm")
+    return configuration[..., 0:3], axis

@@ -163,3 +163,25 @@ class TestConfigRoundTrip:
             assert float(ang2) == pytest.approx(0.3)
             assert float(jw2) == pytest.approx(0.01)
             assert float(mw2) == pytest.approx(0.002)
+
+
+class TestVacuumPoint:
+    """VacuumPoint configuration round-trip + guards (grasp.py:969-1020)."""
+
+    def test_round_trip_and_guards(self):
+        from pointnetgpd_tpu.grasping import (
+            vacuum_configuration_from_params,
+            vacuum_params_from_configuration,
+        )
+
+        cfg = vacuum_configuration_from_params([0.1, -0.02, 0.2], [0, 0, 1.0])
+        c, a = vacuum_params_from_configuration(cfg)
+        np.testing.assert_allclose(c, [0.1, -0.02, 0.2])
+        np.testing.assert_allclose(a, [0, 0, 1.0])
+        with pytest.raises(ValueError):
+            vacuum_configuration_from_params([0, 0, 0], [0, 0, 2.0])
+        with pytest.raises(ValueError):
+            vacuum_params_from_configuration(np.zeros(5))
+        with pytest.raises(ValueError):
+            vacuum_params_from_configuration(
+                np.array([0, 0, 0, 0, 0, 0.5]))
