@@ -15,10 +15,21 @@ from .models import (
     SquaredExponentialKernel,
 )
 from .objectives import (
+    CCBPLogLikelihood,
+    CrossEntropyLoss,
+    DifferentiableObjective,
+    IdentityObjective,
+    LeastSquaresObjective,
+    LogisticCrossEntropyObjective,
+    MaximizationObjective,
     MinimizationObjective,
+    NonDeterministicObjective,
     Objective,
     RandomBinaryObjective,
     RandomContinuousObjective,
+    SquaredErrorLoss,
+    WeightedSquaredErrorLoss,
+    ZeroOneObjective,
 )
 from .policies import (
     BetaBernoulliBayesUCBPolicy,
@@ -52,8 +63,12 @@ __all__ = [
     "ClassificationResult", "ConfusionMatrix", "RegressionResult",
     "BernoulliModel", "BetaBernoulliModel", "CorrelatedBetaBernoulliModel",
     "GaussianModel", "SquaredExponentialKernel",
-    "MinimizationObjective", "Objective", "RandomBinaryObjective",
-    "RandomContinuousObjective",
+    "CCBPLogLikelihood", "CrossEntropyLoss", "DifferentiableObjective",
+    "IdentityObjective", "LeastSquaresObjective",
+    "LogisticCrossEntropyObjective", "MaximizationObjective",
+    "MinimizationObjective", "NonDeterministicObjective", "Objective",
+    "RandomBinaryObjective", "RandomContinuousObjective",
+    "SquaredErrorLoss", "WeightedSquaredErrorLoss", "ZeroOneObjective",
     "BetaBernoulliBayesUCBPolicy", "MaxDiscreteSelectionPolicy",
     "ThompsonSelectionPolicy", "UniformSelectionPolicy", "UCBSelectionPolicy",
     "AdaptiveSamplingResult", "BetaBernoulliBandit",

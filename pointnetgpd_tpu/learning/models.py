@@ -178,6 +178,9 @@ class SquaredExponentialKernel:
     models.py:423-487 consumer)."""
 
     def __init__(self, length_scale: float = 1.0):
+        # pick length_scale ~ the candidate-feature spacing: a scale much
+        # larger than the feature range correlates EVERY arm and blends all
+        # posteriors toward the population mean
         self.length_scale = float(length_scale)
 
     def __call__(self, x, y):

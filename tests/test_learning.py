@@ -207,3 +207,74 @@ class TestCorrelatedBandits:
                 MaxIterTerminationCondition(60), rng=rng)
             assert res.best_candidates[0] >= 0.5  # found a high arm
             assert len(res.vals) == 60
+
+
+class TestObjectiveZoo:
+    """The full objective set (objectives.py:33-420)."""
+
+    def test_zero_one_and_identity(self):
+        from pointnetgpd_tpu.learning import IdentityObjective, ZeroOneObjective
+
+        assert ZeroOneObjective(0.5)(0.7) == 1
+        assert ZeroOneObjective(0.5)(0.3) == 0
+        assert IdentityObjective()(0.42) == pytest.approx(0.42)
+
+    def test_least_squares_gradient_matches_fd(self):
+        from pointnetgpd_tpu.learning import LeastSquaresObjective
+
+        rng = np.random.RandomState(0)
+        a, b = rng.randn(6, 4), rng.randn(6)
+        obj = LeastSquaresObjective(a, b)
+        x = rng.randn(4)
+        g = obj.gradient(x)
+        eps = 1e-6
+        for i in range(4):
+            dx = np.zeros(4); dx[i] = eps
+            fd = (obj(x + dx) - obj(x - dx)) / (2 * eps)
+            assert g[i] == pytest.approx(fd, rel=1e-4)
+        np.testing.assert_allclose(obj.hessian(x), a.T @ a)
+        # exact minimum: gradient vanishes at the lstsq solution
+        x_star = np.linalg.lstsq(a, b, rcond=None)[0]
+        np.testing.assert_allclose(obj.gradient(x_star), 0, atol=1e-9)
+
+    def test_logistic_gradient_matches_fd(self):
+        from pointnetgpd_tpu.learning import LogisticCrossEntropyObjective
+
+        rng = np.random.RandomState(1)
+        x_mat = rng.randn(20, 3)
+        y = (rng.rand(20) < 0.5).astype(float)
+        obj = LogisticCrossEntropyObjective(x_mat, y)
+        beta = rng.randn(3) * 0.3
+        g = obj.gradient(beta)
+        eps = 1e-6
+        for i in range(3):
+            db = np.zeros(3); db[i] = eps
+            fd = (obj(beta + db) - obj(beta - db)) / (2 * eps)
+            assert g[i] == pytest.approx(fd, rel=1e-4, abs=1e-6)
+        h = obj.hessian(beta)
+        np.testing.assert_allclose(h, h.T, atol=1e-12)  # symmetric PSD
+        assert np.all(np.linalg.eigvalsh(h) > -1e-10)
+
+    def test_losses_and_ccbp_likelihood(self):
+        from pointnetgpd_tpu.learning import (
+            CCBPLogLikelihood,
+            CrossEntropyLoss,
+            MaximizationObjective,
+            SquaredErrorLoss,
+            WeightedSquaredErrorLoss,
+        )
+
+        p = np.array([0.2, 0.8, 0.5])
+        assert CrossEntropyLoss(p)(p) < CrossEntropyLoss(p)(p[::-1].copy())
+        assert SquaredErrorLoss(p)(p) == 0.0
+        w = WeightedSquaredErrorLoss(p)
+        assert w(p + 0.1, np.ones(3)) == pytest.approx(0.01)
+        # posterior concentrated at the truth scores higher
+        ll = CCBPLogLikelihood(p)
+        tight = ll(p * 50, (1 - p) * 50)
+        loose = ll(np.ones(3), np.ones(3))
+        assert tight > loose
+        # maximization wrapper forwards
+        assert MaximizationObjective(SquaredErrorLoss(p))(p) == 0.0
+        with pytest.raises(ValueError):
+            SquaredErrorLoss(p)(np.zeros(2))
