@@ -33,6 +33,7 @@ from .objectives import (
 )
 from .policies import (
     BetaBernoulliBayesUCBPolicy,
+    GaussianUCBPolicy,
     MaxDiscreteSelectionPolicy,
     ThompsonSelectionPolicy,
     UniformSelectionPolicy,
@@ -53,9 +54,17 @@ from .samplers import (
 )
 from .termination import (
     AndTerminationCondition,
+    ConfidenceTerminationCondition,
     MaxIterTerminationCondition,
     OrTerminationCondition,
     ThresholdTerminationCondition,
+)
+from .solvers import (
+    DiscreteSamplingSolver,
+    OptimizationSolver,
+    SamplingSolver,
+    Solver,
+    TopKSolver,
 )
 from .tensor_dataset import Tensor, TensorDatapoint, TensorDataset
 
@@ -69,7 +78,8 @@ __all__ = [
     "MinimizationObjective", "NonDeterministicObjective", "Objective",
     "RandomBinaryObjective", "RandomContinuousObjective",
     "SquaredErrorLoss", "WeightedSquaredErrorLoss", "ZeroOneObjective",
-    "BetaBernoulliBayesUCBPolicy", "MaxDiscreteSelectionPolicy",
+    "BetaBernoulliBayesUCBPolicy", "GaussianUCBPolicy",
+    "MaxDiscreteSelectionPolicy",
     "ThompsonSelectionPolicy", "UniformSelectionPolicy", "UCBSelectionPolicy",
     "AdaptiveSamplingResult", "BetaBernoulliBandit",
     "CorrelatedBayesUCB", "CorrelatedBetaBernoulliBandit",
@@ -77,7 +87,10 @@ __all__ = [
     "DiscreteAdaptiveSampler",
     "GaussianBandit", "GaussianUniformAllocationMean", "ThompsonSampling",
     "UniformAllocationMean",
-    "AndTerminationCondition", "MaxIterTerminationCondition",
+    "AndTerminationCondition", "ConfidenceTerminationCondition",
+    "MaxIterTerminationCondition",
     "OrTerminationCondition", "ThresholdTerminationCondition",
+    "DiscreteSamplingSolver", "OptimizationSolver", "SamplingSolver",
+    "Solver", "TopKSolver",
     "Tensor", "TensorDatapoint", "TensorDataset",
 ]

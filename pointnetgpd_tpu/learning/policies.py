@@ -77,3 +77,12 @@ class BetaBernoulliBayesUCBPolicy(DiscreteSelectionPolicy):
         self.t_ += 1
         return int(best[rng.choice(len(best))]) if hasattr(rng, "choice") \
             else int(best[0])
+
+
+class GaussianUCBPolicy(UCBSelectionPolicy):
+    """GP-UCB over a GaussianModel: mean + beta * std
+    (discrete_selection_policies.py:148-173; same rule as
+    UCBSelectionPolicy, with the reference's beta=1 default)."""
+
+    def __init__(self, beta: float = 1.0):
+        super().__init__(beta=beta)

@@ -57,3 +57,30 @@ class TopKSolver(Solver):
         vals = [self.objective_(c) for c in candidates]
         order = np.argsort(vals)[::-1][:k]
         return [candidates[int(i)] for i in order]
+
+
+class OptimizationSolver(Solver):
+    """Constrained-solver base: feasibility of g_i(x) <= eps_i and
+    |h_j(x)| <= eps_e (solvers.py:131 — the reference only defines the
+    feasibility check; concrete optimizers subclass it)."""
+
+    def __init__(self, objective, ineq_constraints=None, eq_constraints=None,
+                 eps_i: float = 1e-2, eps_e: float = 1e-2):
+        super().__init__(objective)
+        self.ineq_constraints_ = ineq_constraints
+        self.eq_constraints_ = eq_constraints
+        self.eps_i_ = eps_i
+        self.eps_e_ = eps_e
+
+    def is_feasible(self, x) -> bool:
+        try:
+            self.objective_.check_valid_input(x)
+        except ValueError:
+            return False
+        for g in self.ineq_constraints_ or []:
+            if np.any(np.asarray(g(x)) > self.eps_i_):
+                return False
+        for h in self.eq_constraints_ or []:
+            if np.any(np.abs(np.asarray(h(x))) > self.eps_e_):
+                return False
+        return True

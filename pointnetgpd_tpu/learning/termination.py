@@ -53,3 +53,17 @@ class AndTerminationCondition(TerminationCondition):
 
     def __call__(self, *a, **kw):
         return all(c(*a, **kw) for c in self.conditions_)
+
+
+class ConfidenceTerminationCondition(TerminationCondition):
+    """Stop when the model's best-prediction variance drops below eps
+    (termination_conditions.py:91-105)."""
+
+    def __init__(self, eps: float):
+        self.eps_ = eps
+
+    def __call__(self, k, cur_val=None, prev_val=None, model=None):
+        if model is None:
+            return False
+        _, _, max_var = model.max_prediction()
+        return float(max_var[0]) < self.eps_

@@ -278,3 +278,54 @@ class TestObjectiveZoo:
         assert MaximizationObjective(SquaredErrorLoss(p))(p) == 0.0
         with pytest.raises(ValueError):
             SquaredErrorLoss(p)(np.zeros(2))
+
+
+class TestRemainingLearningClasses:
+    def test_confidence_termination(self):
+        from pointnetgpd_tpu.learning import (
+            BetaBernoulliModel,
+            ConfidenceTerminationCondition,
+        )
+
+        m = BetaBernoulliModel(3)
+        cond = ConfidenceTerminationCondition(1e-3)
+        assert not cond(0, model=m)  # uniform prior: high variance
+        for _ in range(3000):
+            m.update(1, 1.0)
+        assert cond(0, model=m)      # best arm now has tiny variance
+
+    def test_optimization_solver_feasibility(self):
+        from pointnetgpd_tpu.learning import (
+            LeastSquaresObjective,
+            OptimizationSolver,
+        )
+
+        obj = LeastSquaresObjective(np.eye(2), np.zeros(2))
+        g = lambda x: np.asarray([x[0] - 1.0])      # x0 <= 1
+        h = lambda x: np.asarray([x[0] + x[1]])     # x0 + x1 == 0
+        s = OptimizationSolver(obj, [g], [h])
+        assert s.is_feasible(np.array([0.5, -0.5]))
+        assert not s.is_feasible(np.array([2.0, -2.0]))   # violates g
+        assert not s.is_feasible(np.array([0.5, 0.5]))    # violates h
+        assert not s.is_feasible(np.zeros(3))             # bad shape
+
+    def test_gaussian_ucb_policy(self):
+        from pointnetgpd_tpu.learning import (
+            GaussianBandit,
+            GaussianUCBPolicy,
+            MaxIterTerminationCondition,
+        )
+
+        rng = np.random.RandomState(0)
+        xs = np.linspace(0, 1, 8)
+        obj = lambda x: float(x) + 0.05 * rng.randn()
+        bandit = GaussianBandit(obj, list(xs), GaussianUCBPolicy())
+        # UCB needs a warm start: an unobserved GaussianModel arm has
+        # variance 0, so its UCB never beats an observed positive arm (the
+        # reference's policy has the same cold-start property)
+        for i, x in enumerate(xs):
+            bandit.model_.update(i, obj(x))
+            bandit.model_.update(i, obj(x))
+        res = bandit.discrete_maximize(MaxIterTerminationCondition(80),
+                                       rng=rng)
+        assert res.best_candidates[0] >= 0.7
