@@ -1,0 +1,140 @@
+"""End-to-end demo: mesh -> SDF -> grasp labels -> train -> deploy.
+
+Runs the whole framework on a synthetic object in one script — the same
+pipeline the reference spreads over generate-dataset-canny.py, main_1v_mc.py
+and kinect2grasp.py:
+
+  1. build a box mesh, voxelize it to an SDF on device (SDFGen replacement)
+  2. sample antipodal grasps and label them with the friction ladder +
+     Ferrari-Canny force-only metric (generate-dataset-canny.py semantics)
+  3. train a small 3-class PointNetCls on synthetic clouds with the fused
+     DP train step
+  4. deploy: GPG candidates on a synthetic scene cloud -> GraspScorer
+     (crop + forward + vote + rank in one device program)
+
+Usage:  python examples/end_to_end_demo.py  [--steps 30]
+CPU-safe (forces the CPU backend unless --tpu is passed); every stage prints
+one summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30, help="train steps")
+    ap.add_argument("--tpu", action="store_true",
+                    help="use the default (TPU) backend instead of CPU")
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointnetgpd_tpu.geometry.mesh import Mesh3D
+    from pointnetgpd_tpu.grasping.evaluation import (
+        FC_LIST_LESS_CLASS,
+        friction_boundary_labels,
+    )
+    from pointnetgpd_tpu.grasping.samplers import (
+        antipodal_sample_grasps,
+        gpg_sample_candidates,
+    )
+    from pointnetgpd_tpu.grasping.gripper import Gripper
+    from pointnetgpd_tpu.inference.scorer import GraspScorer
+    from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+    from pointnetgpd_tpu.ops.mesh_to_sdf import mesh_to_sdf
+    from pointnetgpd_tpu.training.data import SyntheticGraspData
+    from pointnetgpd_tpu.training.train import (
+        init_train_state,
+        make_fused_train_step,
+        make_optimizer,
+    )
+
+    print(f"[0/4] backend: {jax.devices()[0].platform} "
+          f"x{len(jax.devices())}")
+
+    # -- 1. object geometry ------------------------------------------------
+    s = 0.03
+    v = np.array([[x, y, z] for x in (-s, s) for y in (-s, s)
+                  for z in (-s, s)])
+    t = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    mesh = Mesh3D(v, t)
+    sdf = mesh_to_sdf(mesh, dim=48, padding=4)
+    print(f"[1/4] mesh ({len(t)} tris) -> SDF {sdf.dims} on device")
+
+    # -- 2. sample + label grasps (dataset-generation path) ----------------
+    key = jax.random.PRNGKey(0)
+    sampled = antipodal_sample_grasps(
+        sdf, key, max_width=0.085, friction_coef=float(FC_LIST_LESS_CLASS[0]),
+        num_attempts=256, num_samples_loa=64)
+    configs = np.asarray(sampled.configs)[np.asarray(sampled.valid)]
+    label_fc, _, label_ok = friction_boundary_labels(
+        sdf, jnp.asarray(configs), jnp.asarray(FC_LIST_LESS_CLASS))
+    kept = int(np.sum(np.asarray(label_ok)))
+    print(f"[2/4] {len(configs)} antipodal grasps sampled; "
+          f"{kept} labeled via friction ladder "
+          f"{[float(f) for f in FC_LIST_LESS_CLASS]}")
+
+    # -- 3. train (fused crop+fwd+bwd+Adam) ---------------------------------
+    params, bn = init_pointnet_cls(jax.random.PRNGKey(1), input_chann=3, k=3)
+    tx = make_optimizer(0.005)
+    state = init_train_state(params, bn, tx)
+    step = make_fused_train_step(tx, num_points=128, min_point_limit=10)
+    data = SyntheticGraspData(batch_size=32, cloud_points=4000,
+                              num_classes=3, learnable=True)
+    k = jax.random.PRNGKey(2)
+    loss0 = loss = None
+    for i in range(args.steps):
+        grasps, clouds, transforms, labels_b, weights = data.next_batch()
+        k, sub = jax.random.split(k)
+        state, metrics = step(state, grasps, clouds, transforms, labels_b,
+                              weights, sub)
+        loss = float(metrics["loss"])
+        loss0 = loss if loss0 is None else loss0
+    if loss is None:
+        print("[3/4] trained 0 steps (skipped)")
+    else:
+        print(f"[3/4] trained {args.steps} steps: "
+              f"loss {loss0:.3f} -> {loss:.3f}")
+
+    # -- 4. deploy: GPG candidates + batched scorer -------------------------
+    rng = np.random.RandomState(0)
+    n = 2000
+    top = rng.rand(n, 3) * [0.06, 0.06, 0] + [-0.03, -0.03, 0.06]
+    front = rng.rand(n, 3) * [0.06, 0, 0.06] + [-0.03, -0.03, 0.0]
+    pts = np.concatenate([top, front]).astype(np.float32)
+    normals = np.concatenate([
+        np.tile([0, 0, 1.0], (n, 1)), np.tile([0, -1.0, 0], (n, 1)),
+    ]).astype(np.float32)
+    cands = gpg_sample_candidates(jnp.asarray(pts), jnp.asarray(normals),
+                                  jax.random.PRNGKey(3), Gripper(),
+                                  num_seeds=16)
+    frames = np.asarray(cands.frames)[np.asarray(cands.valid)]
+    scorer = GraspScorer(params=state.params, state=state.bn_state, k=3,
+                         num_points=128, pad_to=32, min_points=10)
+    if len(frames):
+        out = scorer.score_candidates(pts, frames, hand_depth=0.06,
+                                      width=0.085)
+        print(f"[4/4] {len(frames)} GPG candidates scored; "
+              f"{len(out['good_indices'])} ranked good; "
+              f"top score {out['score'].max():.3f}")
+    else:
+        print("[4/4] no valid GPG candidates on this synthetic scene "
+              "(acceptance depends on the camera geometry — see "
+              "docs/QUIRKS.md); scorer path exercised via score_clouds")
+        p, _, _ = scorer.score_clouds(rng.randn(4, 200, 3).astype(np.float32))
+        print(f"      score_clouds fallback: preds {p}")
+    print("demo complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,3 +44,22 @@ def test_cli_parsers_build():
 
     assert train_parser().parse_args(["--mode", "train"]).mode == "train"
     assert infer_parser().parse_args([]).num_point == 500
+
+
+def test_end_to_end_demo_runs():
+    """The examples/end_to_end_demo.py pipeline (mesh -> SDF -> labels ->
+    train -> deploy) completes and prints every stage."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "end_to_end_demo.py"),
+         "--steps", "3"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    for stage in ("[1/4]", "[2/4]", "[3/4]", "[4/4]", "demo complete"):
+        assert stage in out.stdout, out.stdout
