@@ -18,8 +18,7 @@ from ..geometry.mesh import Mesh3D
 from ..geometry.sdf import SdfGrid, make_sdf
 from . import keys as K
 
-READ_ONLY_ACCESS = "READ_ONLY"
-READ_WRITE_ACCESS = "READ_WRITE"
+from ..constants import READ_ONLY_ACCESS, READ_WRITE_ACCESS  # noqa: F401 (canonical values)
 
 
 class Hdf5Database:

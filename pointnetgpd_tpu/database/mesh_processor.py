@@ -39,11 +39,15 @@ class MeshProcessor:
 
     @property
     def obj_filename(self):
-        return os.path.join(self.cache_dir, self.key + "_proc.obj")
+        from ..constants import OBJ_EXT, PROC_TAG
+
+        return os.path.join(self.cache_dir, self.key + PROC_TAG + OBJ_EXT)
 
     @property
     def sdf_filename(self):
-        return os.path.join(self.cache_dir, self.key + ".sdf")
+        from ..constants import SDF_EXT
+
+        return os.path.join(self.cache_dir, self.key + SDF_EXT)
 
     # ------------------------------------------------------------------
     def generate_graspable(self, config: dict | None = None):
