@@ -74,9 +74,9 @@ def bench_tpu():
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / n_iters
     cand_per_sec = N_CANDIDATES / dt
-    t0 = time.perf_counter()
-    jax.device_get(outs[-1])
-    fetch_ms = (time.perf_counter() - t0) * 1e3
+    # NOTE: the device->host fetch is measured at the very END of this
+    # function — on tunneled chips a slow fetch congests the stdio relay for
+    # minutes and would poison every timing loop that runs after it.
 
     # bf16 variant (GraspScorer.as_dtype path): max MXU throughput when
     # checkpoint-level parity is not required
@@ -127,6 +127,11 @@ def bench_tpu():
     jax.block_until_ready(m["loss"])
     dt_train = (time.perf_counter() - t0) / n_train_iters
     train_sps_chip = batch / dt_train / n_chips
+
+    # fetch LAST (see note above): one transfer of the final result tuple
+    t0 = time.perf_counter()
+    jax.device_get(outs[-1])
+    fetch_ms = (time.perf_counter() - t0) * 1e3
 
     return cand_per_sec, train_sps_chip, dt * 1e3, fetch_ms, cand_per_sec_bf16
 
