@@ -33,14 +33,17 @@ from .objectives import (
 )
 from .policies import (
     BetaBernoulliBayesUCBPolicy,
+    BetaBernoulliGittinsIndex98Policy,
     GaussianUCBPolicy,
     MaxDiscreteSelectionPolicy,
     ThompsonSelectionPolicy,
     UniformSelectionPolicy,
     UCBSelectionPolicy,
 )
+from .gittins import gittins_index, gittins_index_table
 from .samplers import (
     AdaptiveSamplingResult,
+    GittinsIndex98,
     BetaBernoulliBandit,
     CorrelatedBayesUCB,
     CorrelatedBetaBernoulliBandit,
@@ -78,7 +81,9 @@ __all__ = [
     "MinimizationObjective", "NonDeterministicObjective", "Objective",
     "RandomBinaryObjective", "RandomContinuousObjective",
     "SquaredErrorLoss", "WeightedSquaredErrorLoss", "ZeroOneObjective",
-    "BetaBernoulliBayesUCBPolicy", "GaussianUCBPolicy",
+    "BetaBernoulliBayesUCBPolicy", "BetaBernoulliGittinsIndex98Policy",
+    "GaussianUCBPolicy", "GittinsIndex98",
+    "gittins_index", "gittins_index_table",
     "MaxDiscreteSelectionPolicy",
     "ThompsonSelectionPolicy", "UniformSelectionPolicy", "UCBSelectionPolicy",
     "AdaptiveSamplingResult", "BetaBernoulliBandit",

@@ -86,3 +86,26 @@ class GaussianUCBPolicy(UCBSelectionPolicy):
 
     def __init__(self, beta: float = 1.0):
         super().__init__(beta=beta)
+
+
+class BetaBernoulliGittinsIndex98Policy(DiscreteSelectionPolicy):
+    """True Gittins-index policy for gamma=0.98: picks the arm with the
+    highest COMPUTED Gittins index of its Beta posterior (reference:
+    discrete_selection_policies.py BetaBernoulliGittinsIndex98Policy, which
+    hardcodes a 1998 table — here the indices come from the calibration
+    method in learning/gittins.py, validated against published gamma=0.9
+    values to ~1e-3). Fractional posteriors (CCBP kernel updates)
+    interpolate bilinearly."""
+
+    def __init__(self, gamma: float = 0.98):
+        super().__init__()
+        self.gamma_ = gamma
+
+    def choose_next(self, rng=None):
+        from .gittins import gittins_index
+
+        rng = rng or np.random
+        idx = gittins_index(self.model_.posterior_alphas,
+                            self.model_.posterior_betas, gamma=self.gamma_)
+        best = np.where(idx == np.max(idx))[0]
+        return int(best[rng.choice(len(best))])

@@ -101,11 +101,15 @@ class ThompsonSampling(BetaBernoulliBandit):
 
 
 class GittinsIndex98(BetaBernoulliBandit):
-    """UCB stand-in for the reference's 1998 Gittins-table policy
-    (documented deviation in policies.UCBSelectionPolicy)."""
+    """Gittins-index bandit for gamma=0.98 — indices COMPUTED by the
+    calibration method (learning/gittins.py) instead of the reference's
+    hardcoded table (discrete_adaptive_samplers.py:287-306)."""
 
     def __init__(self, objective, candidates, alpha_prior=1.0, beta_prior=1.0):
-        super().__init__(objective, candidates, UCBSelectionPolicy(),
+        from .policies import BetaBernoulliGittinsIndex98Policy
+
+        super().__init__(objective, candidates,
+                         BetaBernoulliGittinsIndex98Policy(),
                          alpha_prior, beta_prior)
 
 
@@ -172,8 +176,11 @@ class CorrelatedBayesUCB(CorrelatedBetaBernoulliBandit):
 
 
 class CorrelatedGittins(CorrelatedBetaBernoulliBandit):
-    """UCB stand-in for the reference's 1998 Gittins table (same documented
-    deviation as GittinsIndex98)."""
+    """CCBP bandit with the computed Gittins-index policy (fractional
+    posteriors interpolate into the index table)."""
 
     def __init__(self, objective, candidates, **kw):
-        super().__init__(objective, candidates, UCBSelectionPolicy(), **kw)
+        from .policies import BetaBernoulliGittinsIndex98Policy
+
+        super().__init__(objective, candidates,
+                         BetaBernoulliGittinsIndex98Policy(), **kw)

@@ -329,3 +329,52 @@ class TestRemainingLearningClasses:
         res = bandit.discrete_maximize(MaxIterTerminationCondition(80),
                                        rng=rng)
         assert res.best_candidates[0] >= 0.7
+
+
+class TestGittinsIndices:
+    """Computed Gittins indices (learning/gittins.py) — properties + the
+    published gamma=0.9 oracle value."""
+
+    def test_published_value_gamma09(self):
+        from pointnetgpd_tpu.learning import gittins_index
+
+        # Gittins/Glazebrook/Weber tables: Beta(1,1), gamma=0.9 -> 0.7029
+        v = float(gittins_index([1], [1], gamma=0.9)[0])
+        assert v == pytest.approx(0.7029, abs=2e-3)
+
+    def test_properties(self):
+        from pointnetgpd_tpu.learning import gittins_index
+
+        a = np.arange(1, 40)
+        inc = gittins_index(a, np.full_like(a, 5))
+        dec = gittins_index(np.full_like(a, 5), a)
+        assert np.all(np.diff(inc) > -1e-9)      # increasing in alpha
+        assert np.all(np.diff(dec) < 1e-9)       # decreasing in beta
+        mean = a / (a + 5.0)
+        assert np.all(inc >= mean - 1e-9)        # exploration bonus >= 0
+        # myopic limit: gamma -> 0 gives the posterior mean
+        v0 = float(gittins_index([3], [7], gamma=1e-4)[0])
+        assert v0 == pytest.approx(0.3, abs=2e-3)
+        # beyond-table fallback: large n -> mean
+        assert float(gittins_index([300], [700])[0]) == pytest.approx(0.3)
+
+    def test_gittins_bandit_converges(self):
+        from pointnetgpd_tpu.learning import (
+            GittinsIndex98,
+            MaxIterTerminationCondition,
+        )
+
+        rng = np.random.RandomState(0)
+        probs = [0.2, 0.85, 0.4, 0.5]
+        obj = lambda x: float(rng.rand() < x)
+        res = GittinsIndex98(obj, probs).discrete_maximize(
+            MaxIterTerminationCondition(150), rng=rng)
+        assert res.best_candidates[0] == 0.85
+
+    def test_fractional_posteriors_interpolate(self):
+        from pointnetgpd_tpu.learning import gittins_index
+
+        lo = float(gittins_index([2], [3])[0])
+        hi = float(gittins_index([3], [3])[0])
+        mid = float(gittins_index([2.5], [3])[0])
+        assert lo <= mid <= hi
