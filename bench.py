@@ -128,12 +128,50 @@ def bench_tpu():
     dt_train = (time.perf_counter() - t0) / n_train_iters
     train_sps_chip = batch / dt_train / n_chips
 
+    # dataset-generation labeling rate: antipodal sampling + friction-ladder
+    # force-closure + Ferrari-Canny, all on device (generate-dataset-canny.py
+    # runs 50 host processes per object for the same labels)
+    import numpy as _np
+
+    from pointnetgpd_tpu.geometry.sdf import make_sdf
+    from pointnetgpd_tpu.grasping.evaluation import (
+        FC_LIST_LESS_CLASS, friction_boundary_labels,
+    )
+    from pointnetgpd_tpu.grasping.samplers import antipodal_sample_grasps
+
+    dim, res, r = 48, 0.0025, 0.045
+    origin = -res * (dim - 1) / 2 * _np.ones(3)
+    ii, jj, kk = _np.meshgrid(*(_np.arange(dim),) * 3, indexing="ij")
+    grid_pts = origin + res * _np.stack([ii, jj, kk], axis=-1)
+    sphere = make_sdf(_np.linalg.norm(grid_pts, axis=-1) - r, origin, res)
+    fc = jnp.asarray(FC_LIST_LESS_CLASS)
+
+    def label_round(seed):
+        s = antipodal_sample_grasps(
+            sphere, jax.random.PRNGKey(seed), max_width=0.10,
+            friction_coef=float(FC_LIST_LESS_CLASS[0]), num_attempts=256,
+            num_samples_loa=48)
+        return friction_boundary_labels(sphere, s.configs, fc), s.valid
+
+    (lbl, _, lok), valid = label_round(0)  # compile
+    jax.block_until_ready(lbl)
+    n_label_iters = 5
+    t0 = time.perf_counter()
+    labeled = 0
+    for i in range(n_label_iters):
+        (lbl, _, lok), valid = label_round(i)
+    jax.block_until_ready(lbl)
+    dt_label = (time.perf_counter() - t0) / n_label_iters
+    # count labeled grasps from the LAST round only (single fetch, post-loop)
+    labels_per_sec = float(jnp.sum(lok & valid)) / dt_label
+
     # fetch LAST (see note above): one transfer of the final result tuple
     t0 = time.perf_counter()
     jax.device_get(outs[-1])
     fetch_ms = (time.perf_counter() - t0) * 1e3
 
-    return cand_per_sec, train_sps_chip, dt * 1e3, fetch_ms, cand_per_sec_bf16
+    return (cand_per_sec, train_sps_chip, dt * 1e3, fetch_ms,
+            cand_per_sec_bf16, labels_per_sec)
 
 
 def bench_reference_torch():
@@ -178,7 +216,8 @@ def bench_reference_torch():
 
 
 def main():
-    cand_per_sec, train_sps_chip, ms_per_scene, fetch_ms, bf16_cps = bench_tpu()
+    (cand_per_sec, train_sps_chip, ms_per_scene, fetch_ms, bf16_cps,
+     labels_per_sec) = bench_tpu()
     baseline = bench_reference_torch()
     result = {
         "metric": "grasp_candidates_scored_per_sec_750pt",
@@ -190,6 +229,7 @@ def main():
             "bf16_candidates_per_sec": round(bf16_cps, 1),
             "result_fetch_ms": round(fetch_ms, 2),
             "train_samples_per_sec_per_chip_750pt_b128": round(train_sps_chip, 1),
+            "labeled_grasps_per_sec": round(labels_per_sec, 1),
             "reference_torch_cpu_candidates_per_sec": round(baseline, 1) if baseline else None,
         },
     }
