@@ -12,7 +12,6 @@ Run: PYTHONPATH=. python examples/execute_grasp_registration.py
 import tempfile
 
 import numpy as np
-import jax
 
 from pointnetgpd_tpu.api import DexNet
 from pointnetgpd_tpu.geometry.io import write_obj

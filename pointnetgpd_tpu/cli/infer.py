@@ -64,7 +64,7 @@ def load_scorer(args):
 
     from ..models.pointnet import init_pointnet_cls
     from ..training.checkpoint import restore_checkpoint
-    from ..training.train import TrainState, init_train_state, make_optimizer
+    from ..training.train import init_train_state, make_optimizer
 
     params, bn = init_pointnet_cls(jax.random.PRNGKey(0), input_chann=3,
                                    k=args.k)

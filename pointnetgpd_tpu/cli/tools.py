@@ -22,7 +22,6 @@ def compare_normals(sdf_path: str, out_png: str, n_points: int = 300,
                     seed: int = 0):
     """SDF surface normals (plane fit) vs KNN-estimated normals from the
     surface points — the Cal_norm meshpy-vs-pcl comparison."""
-    import jax
     import jax.numpy as jnp
     import matplotlib
 

@@ -17,7 +17,7 @@ consumes its outputs (SDFs, surface samples, stable-pose transforms).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -6,7 +6,7 @@ rotation, support point; T_obj_table builds the object-on-table transform.)
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

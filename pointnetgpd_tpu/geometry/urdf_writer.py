@@ -15,8 +15,6 @@ import os
 from xml.etree import ElementTree as ET
 from xml.dom import minidom
 
-import numpy as np
-
 from .io import write_obj
 from .mesh import Mesh3D
 

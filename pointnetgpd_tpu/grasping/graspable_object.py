@@ -8,7 +8,7 @@ container carries them together for API parity.)
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from .evaluation import evaluate_ferrari_canny, evaluate_force_closure
 from .random_variables import (
-    GraspableObjectPoseGaussianRV,
     ParallelJawGraspPoseGaussianRV,
     ParamsGaussianRV,
 )

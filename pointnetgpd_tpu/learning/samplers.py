@@ -7,13 +7,12 @@ quality's MC mean over perturbation samples (robust_grasp_quality.py:158)."""
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from .models import BetaBernoulliModel, GaussianModel
 from .policies import (
-    MaxDiscreteSelectionPolicy,
     ThompsonSelectionPolicy,
     UCBSelectionPolicy,
     UniformSelectionPolicy,

@@ -13,8 +13,7 @@ gripper MarkerArray + GraspConfigList out, :400-424).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any
+from dataclasses import dataclass
 
 import numpy as np
 import jax

@@ -12,17 +12,15 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.pointnet import init_pointnet_cls
 from ..parallel.mesh import batch_sharding, make_mesh, replicate_tree
 from . import checkpoint as ckpt_lib
 from .train import (
-    TrainState,
     init_train_state,
     make_eval_step,
     make_fused_train_step,

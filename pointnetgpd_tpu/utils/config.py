@@ -10,7 +10,6 @@ the flat/nested mapping subset the reference configs use).
 from __future__ import annotations
 
 import json
-import os
 
 
 class YamlConfig(dict):
