@@ -91,7 +91,6 @@ def fused_trunk(x, folded, *, interpret: bool = False):
         w1 = jnp.concatenate(
             [w1, jnp.zeros((c_pad - c, w1.shape[1]), w1.dtype)], axis=0)
 
-    kwargs = {}
     if _VMEM is not None and not interpret:
         spec = lambda shape, imap=None: pl.BlockSpec(
             shape, imap, memory_space=_VMEM)
