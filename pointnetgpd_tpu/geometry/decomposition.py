@@ -9,6 +9,10 @@ runs on TPU through :func:`pointnetgpd_tpu.ops.mesh_to_sdf.mesh_to_sdf`
 (already the SDFGen replacement), and the greedy plane search + hulls run on
 the host with scipy.
 
+Precondition inherited from the voxelizer: the input mesh must not be
+self-intersecting (ray parity is undefined on overlapping-solid unions —
+see ops/mesh_to_sdf.py).
+
 Differences from vhacd proper (documented deviation, docs/QUIRKS.md):
 no voxel-cluster merging pass and axis-aligned candidate planes only —
 sufficient for the database's ``convex_pieces`` store and URDF export, where

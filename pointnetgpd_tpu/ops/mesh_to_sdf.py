@@ -121,6 +121,11 @@ def mesh_to_sdf(mesh: Mesh3D, dim: int = 100, padding: int = 5,
 
     ``jitter`` nudges the grid off exact vertex/edge alignments so the ray
     parity is robust (SDFGen uses exact predicates instead).
+
+    Precondition (shared with SDFGen): the mesh must not be SELF-INTERSECTING
+    — in an overlapping union a ray entering both solids counts two crossings
+    and parity marks the overlap region outside. Merge touching solids on a
+    shared face, or boolean-union them upstream.
     """
     if len(mesh.triangles) > max_triangles:
         # the distance pass is O(grid x triangles): decimate huge meshes

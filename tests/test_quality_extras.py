@@ -185,3 +185,47 @@ class TestVacuumPoint:
         with pytest.raises(ValueError):
             vacuum_params_from_configuration(
                 np.array([0, 0, 0, 0, 0, 0.5]))
+
+
+class TestWrenchSpanOracle:
+    """wrench_in_positive_span vs a scipy SLSQP oracle on random instances:
+    min ||B^T x - w|| s.t. x >= 0, per-finger sum(x) <= F."""
+
+    def test_matches_slsqp_on_random_instances(self):
+        from scipy.optimize import minimize
+
+        from pointnetgpd_tpu.grasping.quality import wrench_in_positive_span
+
+        rng = np.random.RandomState(0)
+        for trial in range(8):
+            n_fingers = rng.choice([1, 2])
+            per = 4
+            m = n_fingers * per
+            basis = rng.randn(m, 6)
+            target = rng.randn(6) * rng.choice([0.5, 3.0])
+            flimit = 2.0
+
+            ok, lam = wrench_in_positive_span(
+                jnp.asarray(basis), jnp.asarray(target), flimit,
+                int(n_fingers), num_iters=2000)
+
+            def obj(x):
+                r = basis.T @ x - target
+                return float(r @ r)
+
+            cons = [{"type": "ineq",
+                     "fun": (lambda x, i=i: flimit
+                             - np.sum(x[i * per:(i + 1) * per]))}
+                    for i in range(n_fingers)]
+            best = None
+            for _ in range(4):  # multistart
+                x0 = np.abs(rng.randn(m)) * 0.1
+                res = minimize(obj, x0, method="SLSQP",
+                               bounds=[(0, None)] * m, constraints=cons,
+                               options={"maxiter": 300, "ftol": 1e-12})
+                if best is None or res.fun < best:
+                    best = res.fun
+            # the in-span decision thresholds the optimal squared residual
+            # at wrench_norm_thresh=1e-4; FISTA must agree with the oracle
+            in_span_oracle = best < 1e-4
+            assert bool(ok) == in_span_oracle, (trial, best, bool(ok))
