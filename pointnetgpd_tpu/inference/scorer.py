@@ -223,6 +223,15 @@ class GraspScorer:
         order of "good" candidates (kinect2grasp.py:500-514 semantics).
         """
         cand = np.asarray(candidates, dtype=np.float32).reshape(-1, 5, 3)
+        if cand.shape[0] == 0:  # no candidates this frame: empty result
+            return {
+                "pred": np.zeros((0,), np.int32),
+                "prob": np.zeros((0, self.k), np.float32),
+                "score": np.zeros((0,), np.float32),
+                "counts": np.zeros((0,), np.int32),
+                "valid": np.zeros((0,), bool),
+                "good_indices": np.zeros((0,), np.int64),
+            }
         g = cand.shape[0]
         g_pad = max(_round_up(g, self.pad_to), self.pad_to)
         cand_p = np.zeros((g_pad, 5, 3), dtype=np.float32)

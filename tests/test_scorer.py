@@ -189,3 +189,19 @@ class TestShardedInference:
         pb, qb, _ = sharded.score_clouds(clouds, seed=1)
         np.testing.assert_array_equal(pa, pb)
         np.testing.assert_allclose(qa, qb, atol=1e-6)
+
+
+def test_zero_candidates(model3):
+    """An empty candidate list (a frame where GPG found nothing) returns
+    empty, well-typed results instead of crashing."""
+    params, state = model3
+    s = GraspScorer(params=params, state=state, k=3, num_points=64,
+                    pad_to=8, min_points=5)
+    pc = np.random.RandomState(0).rand(500, 3).astype(np.float32) * 0.08
+    out = s.score_candidates(pc, np.zeros((0, 5, 3), np.float32),
+                             hand_depth=0.05, width=0.08)
+    assert out["pred"].shape == (0,)
+    assert out["prob"].shape == (0, 3)
+    assert out["good_indices"].shape == (0,)
+    p, pr, _ = s.score_clouds(np.zeros((0, 100, 3), np.float32))
+    assert p.shape == (0,) and pr.shape == (0, 3)
