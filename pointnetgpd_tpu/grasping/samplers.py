@@ -79,6 +79,10 @@ def antipodal_sample_grasps(
     """
     surface_pts_world = sdf_lib.grid_to_world(sdf, sdf.surface_points)
     n_surface = surface_pts_world.shape[0]
+    if n_surface == 0:  # static shape: no surface cells -> nothing to sample
+        z3 = jnp.zeros((num_attempts, 2, 3))
+        return SampledGrasps(jnp.zeros((num_attempts, 10)), z3, z3,
+                             jnp.zeros((num_attempts,), bool))
 
     k_idx, k_perturb, k_cone, k_flip, k_angle = jax.random.split(key, 5)
     idx = jax.random.randint(k_idx, (num_attempts,), 0, n_surface)

@@ -26,6 +26,8 @@ def voxel_downsample(points, n_grid: int = 500):
     number of occupied voxels is data-dependent, so callers consume the mask
     (or compact on host).
     """
+    if points.shape[0] == 0:  # static shape: empty cloud -> empty output
+        return (jnp.zeros((0, 3), points.dtype), jnp.zeros((0,), bool))
     lo = jnp.min(points, axis=0)
     hi = jnp.max(points, axis=0)
     span = jnp.maximum(hi - lo, 1e-9)
@@ -52,6 +54,9 @@ def estimate_normals_knn(points, camera_pos, *, k: int = 30, chunk: int = 1024):
     distances are computed in query chunks so HBM stays bounded for large P.
     """
     p_total = points.shape[0]
+    k = min(k, p_total)  # clouds smaller than KSearch use all points
+    if k == 0:
+        return jnp.zeros((0, 3), points.dtype)
     pad = (-p_total) % chunk
     pts_pad = jnp.concatenate(
         [points, jnp.full((pad, 3), jnp.inf, points.dtype)]) if pad else points

@@ -195,6 +195,9 @@ def collect_candidate_clouds(
     Returns (points (G, num_out, 3), counts (G,), valid (G,)).
     """
     g = bottom_centers.shape[0]
+    if pc.shape[0] == 0:  # static shape: empty scene -> all-invalid crops
+        return (jnp.zeros((g, num_out, 3), pc.dtype),
+                jnp.zeros((g,), jnp.int32), jnp.zeros((g,), bool))
     keys = jax.random.split(key, g)
 
     def normalize(v):

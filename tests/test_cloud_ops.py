@@ -149,3 +149,46 @@ class TestProjectionParity:
                                                jnp.asarray(normals), valid)
         assert out.shape == (4, 60, 60, 12)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestDegenerateInputs:
+    """Zero/tiny-input edges across the device ops (regression tests for the
+    guards added after systematic empty-input probing)."""
+
+    def test_voxel_downsample_empty(self):
+        from pointnetgpd_tpu.ops.cloud import voxel_downsample
+
+        centers, mask = voxel_downsample(jnp.zeros((0, 3)), 100)
+        assert centers.shape == (0, 3) and mask.shape == (0,)
+
+    def test_normals_fewer_points_than_k(self):
+        from pointnetgpd_tpu.ops.cloud import estimate_normals_knn
+
+        pts = jnp.asarray(np.random.RandomState(0).rand(2, 3))
+        n = estimate_normals_knn(pts, jnp.asarray([0.0, 0, 1]), k=30)
+        assert n.shape == (2, 3)
+        assert np.isfinite(np.asarray(n)).all()
+        assert estimate_normals_knn(jnp.zeros((0, 3)),
+                                    jnp.asarray([0.0, 0, 1])).shape == (0, 3)
+
+    def test_crop_empty_scene(self):
+        from pointnetgpd_tpu.ops.crop import collect_candidate_clouds
+
+        pts, counts, valid = collect_candidate_clouds(
+            jnp.zeros((2, 3)), jnp.tile(jnp.asarray([1.0, 0, 0]), (2, 1)),
+            jnp.tile(jnp.asarray([0.0, 1, 0]), (2, 1)),
+            jnp.tile(jnp.asarray([0.0, 0, 1]), (2, 1)),
+            jnp.zeros((0, 3)), jnp.float32(0.05), jnp.float32(0.08),
+            jax.random.PRNGKey(0), num_out=16, min_point_limit=2)
+        assert pts.shape == (2, 16, 3)
+        assert not np.asarray(valid).any()
+
+    def test_antipodal_on_surfaceless_sdf(self):
+        from pointnetgpd_tpu.geometry.sdf import make_sdf
+        from pointnetgpd_tpu.grasping.samplers import antipodal_sample_grasps
+
+        sdf = make_sdf(np.ones((8, 8, 8)), np.zeros(3), 0.01)
+        out = antipodal_sample_grasps(sdf, jax.random.PRNGKey(0),
+                                      max_width=0.08)
+        assert out.configs.shape == (256, 10)
+        assert not np.asarray(out.valid).any()
