@@ -369,6 +369,10 @@ class Mesh3D:
         """
         from scipy.spatial import ConvexHull
 
+        if len(self.vertices) < 4 or abs(self.volume()) < 1e-12:
+            raise ValueError(
+                "stable_poses requires a non-degenerate solid mesh "
+                f"({len(self.vertices)} vertices, volume {self.volume():.3g})")
         com = self.center_of_mass()
         hull = ConvexHull(self.vertices)
         tris = hull.simplices                # (T, 3) into self.vertices

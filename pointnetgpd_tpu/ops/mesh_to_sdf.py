@@ -134,6 +134,9 @@ def mesh_to_sdf(mesh: Mesh3D, dim: int = 100, padding: int = 5,
         mesh = mesh.decimate(max_triangles)
     verts = np.asarray(mesh.vertices, np.float32)
     tris = np.asarray(mesh.triangles, np.int32)
+    if len(verts) == 0 or len(tris) == 0:
+        raise ValueError("mesh_to_sdf requires a mesh with vertices and "
+                         f"triangles (got {len(verts)} verts, {len(tris)} tris)")
     lo = verts.min(axis=0)
     hi = verts.max(axis=0)
     span = float((hi - lo).max())

@@ -216,3 +216,21 @@ def test_decimate_preserves_shape():
     assert abs(m.volume() - 1.0) < 0.15
     lo, hi = m.bounding_box()
     assert np.all(hi - lo > 0.8)
+
+
+class TestDegenerateMeshes:
+    def test_stable_poses_reject_degenerate(self):
+        flat = Mesh3D(np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], float),
+                      np.array([[0, 1, 2]]))
+        with pytest.raises(ValueError, match="non-degenerate solid"):
+            flat.stable_poses()
+        empty = Mesh3D(np.zeros((0, 3)), np.zeros((0, 3), int))
+        with pytest.raises(ValueError):
+            empty.stable_poses()
+
+    def test_voxelizer_rejects_empty(self):
+        from pointnetgpd_tpu.ops.mesh_to_sdf import mesh_to_sdf
+
+        empty = Mesh3D(np.zeros((0, 3)), np.zeros((0, 3), int))
+        with pytest.raises(ValueError, match="vertices and"):
+            mesh_to_sdf(empty, dim=16)

@@ -222,3 +222,31 @@ def test_learnable_synthetic_accuracy_improves():
         accs.append(float(metrics["acc"]))
     # late-training accuracy far above the ~0.5 chance level
     assert np.mean(accs[-5:]) > 0.85, accs[-5:]
+
+
+def test_all_masked_batch_keeps_params_finite():
+    """A batch where every sample is rejected (all label weights zero) must
+    not NaN the loss or the parameters, and training must recover on the
+    next real batch (the reference's my_collate would simply produce an
+    empty batch; here masking carries the semantics)."""
+    from pointnetgpd_tpu.training.data import SyntheticGraspData
+    from pointnetgpd_tpu.training.train import (
+        init_train_state,
+        make_fused_train_step,
+        make_optimizer,
+    )
+
+    params, bn = init_pointnet_cls(jax.random.PRNGKey(0), input_chann=3, k=2)
+    tx = make_optimizer(0.005)
+    state = init_train_state(params, bn, tx)
+    step = make_fused_train_step(tx, num_points=32, min_point_limit=1)
+    data = SyntheticGraspData(batch_size=8, cloud_points=128)
+    grasps, clouds, transforms, labels, weights = data.next_batch()
+
+    state, m = step(state, grasps, clouds, transforms, labels,
+                    np.zeros_like(weights), jax.random.PRNGKey(1))
+    assert float(m["loss"]) == 0.0
+    assert bool(jnp.all(jnp.isfinite(state.params["fc3"]["w"])))
+    state, m2 = step(state, grasps, clouds, transforms, labels, weights,
+                     jax.random.PRNGKey(2))
+    assert np.isfinite(float(m2["loss"]))
