@@ -205,3 +205,56 @@ def test_zero_candidates(model3):
     assert out["good_indices"].shape == (0,)
     p, pr, _ = s.score_clouds(np.zeros((0, 100, 3), np.float32))
     assert p.shape == (0,) and pr.shape == (0, 3)
+
+
+class TestGPDScorer:
+    """Online scoring with the GPD projection-CNN baseline — the deployment
+    path the reference never built for its GPD models."""
+
+    def test_gpd_candidates_scored(self):
+        from pointnetgpd_tpu.inference import GPDScorer
+        from pointnetgpd_tpu.models.gpd import init_gpd_classifier
+
+        params = init_gpd_classifier(jax.random.PRNGKey(0), input_chann=3)
+        s = GPDScorer(params=params, project_chann=3, num_points=128,
+                      pad_to=8, min_points=5)
+        rng = np.random.RandomState(0)
+        pc = (rng.rand(1500, 3) * 0.08).astype(np.float32)
+        g = 10
+        cands = np.zeros((g, 5, 3), np.float32)
+        cands[:, 0] = rng.rand(g, 3) * 0.08
+        cands[:, 0, 0] -= 0.02
+        cands[:, 1] = [1, 0, 0]
+        cands[:, 2] = [0, 1, 0]
+        cands[:, 3] = [0, 0, 1]
+        out = s.score_candidates(pc, cands, hand_depth=0.05, width=0.08)
+        assert out["pred"].shape == (g,)
+        assert out["prob"].shape == (g, 2)
+        assert np.isfinite(out["prob"]).all()
+        assert (out["score"] >= 0).all() and (out["score"] <= 1).all()
+        for i in out["good_indices"]:
+            assert out["pred"][i] == 1 and out["valid"][i]
+        # descending ranking
+        gi = out["good_indices"]
+        if len(gi) > 1:
+            assert (np.diff(out["score"][gi]) <= 1e-7).all()
+
+    def test_gpd_12_chann_and_empty(self):
+        from pointnetgpd_tpu.inference import GPDScorer
+        from pointnetgpd_tpu.models.gpd import init_gpd_classifier
+
+        params = init_gpd_classifier(jax.random.PRNGKey(1), input_chann=12)
+        s = GPDScorer(params=params, project_chann=12, num_points=64,
+                      pad_to=8, min_points=3)
+        pc = np.random.RandomState(1).rand(400, 3).astype(np.float32) * 0.08
+        out = s.score_candidates(pc, np.zeros((0, 5, 3), np.float32),
+                                 hand_depth=0.05, width=0.08)
+        assert out["pred"].shape == (0,)
+        c = np.zeros((3, 5, 3), np.float32)
+        c[:, 0] = 0.04
+        c[:, 1] = [1, 0, 0]
+        c[:, 2] = [0, 1, 0]
+        c[:, 3] = [0, 0, 1]
+        out = s.score_candidates(pc, c, hand_depth=0.05, width=0.08)
+        assert out["prob"].shape == (3, 2)
+        assert np.isfinite(out["prob"]).all()
