@@ -250,3 +250,46 @@ def test_all_masked_batch_keeps_params_finite():
     state, m2 = step(state, grasps, clouds, transforms, labels, weights,
                      jax.random.PRNGKey(2))
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_checkpoint_resume_round_trip():
+    """Crash-resume: a fresh Trainer pointed at the same model_path restores
+    the exact params, optimizer state, and epoch offset (the reference never
+    checkpoints the optimizer — main_1v.py:60 recreates it; SURVEY §5
+    checkpoint/resume)."""
+    import tempfile
+
+    from pointnetgpd_tpu.training.data import SyntheticGraspData
+    from pointnetgpd_tpu.training.loop import TrainConfig, Trainer
+
+    tmp = tempfile.mkdtemp()
+    cfg = TrainConfig(num_classes=2, grasp_points_num=32, batch_size=8,
+                      epochs=2, steps_per_epoch=3, eval_steps=1,
+                      min_point_limit=1, save_interval=1, tag="resume",
+                      model_path=f"{tmp}/m", log_dir=f"{tmp}/l", seed=3)
+    data = SyntheticGraspData(batch_size=8, cloud_points=256)
+    tr1 = Trainer(cfg, data)
+    tr1.fit()
+    step1 = int(tr1.state.step)
+    assert step1 == cfg.epochs * cfg.steps_per_epoch
+    w1 = np.asarray(tr1.state.params["fc3"]["w"])
+    mom1 = jax.tree_util.tree_leaves(tr1.state.opt_state)
+
+    # a brand-new process would build a fresh Trainer and call maybe_resume
+    tr2 = Trainer(cfg, data)
+    assert not np.allclose(np.asarray(tr2.state.params["fc3"]["w"]), w1)
+    path = tr2.maybe_resume()
+    assert path is not None
+    assert int(tr2.state.step) == step1
+    np.testing.assert_array_equal(np.asarray(tr2.state.params["fc3"]["w"]),
+                                  w1)
+    # optimizer moments restored too (the reference loses them)
+    mom2 = jax.tree_util.tree_leaves(tr2.state.opt_state)
+    for a, b in zip(mom1, mom2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # epoch offset advances from the restored step
+    assert tr2._epoch0 == cfg.epochs
+    # and training continues from there without error
+    tr2.cfg = TrainConfig(**{**cfg.__dict__, "epochs": 3})
+    tr2.fit()
+    assert int(tr2.state.step) == 3 * cfg.steps_per_epoch
