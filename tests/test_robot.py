@@ -80,3 +80,24 @@ class TestGraspDetector:
         # ranked scores descending
         if len(out["scores"]) > 1:
             assert (np.diff(out["scores"]) <= 1e-7).all()
+
+
+def test_detector_accepts_gpd_scorer():
+    """GraspDetector is scorer-agnostic: the GPD projection-CNN scorer plugs
+    in through the same score_candidates interface."""
+    from pointnetgpd_tpu.inference import GPDScorer
+    from pointnetgpd_tpu.models.gpd import init_gpd_classifier
+    from pointnetgpd_tpu.robot.node import GraspDetector
+
+    params = init_gpd_classifier(jax.random.PRNGKey(0), input_chann=3)
+    s = GPDScorer(params=params, project_chann=3, num_points=64, pad_to=8,
+                  min_points=3)
+    det = GraspDetector(s)
+    rng = np.random.RandomState(0)
+    n = 400
+    top = rng.rand(n, 3) * [0.06, 0.06, 0] + [-0.03, -0.03, 0.06]
+    side = rng.rand(n, 3) * [0.06, 0, 0.06] + [-0.03, -0.03, 0.0]
+    pts = np.concatenate([top, side]).astype(np.float32)
+    res = det.process_frame(pts, cam_pos=np.array([0.5, 0, 0.5]))
+    assert res["all_frames"].shape[0] == res["all_scores"].shape[0]
+    assert np.isfinite(res["all_scores"]).all()
