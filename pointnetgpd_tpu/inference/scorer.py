@@ -173,7 +173,10 @@ class GraspScorer:
 
         params, state = load_torch_checkpoint(path, ref_paths)
         k = params["fc3"]["w"].shape[0]
-        return cls(params=params, state=state, k=k, **kw)
+        if kw.setdefault("k", k) != k:
+            raise ValueError(
+                f"checkpoint is {k}-class but k={kw['k']} was requested")
+        return cls(params=params, state=state, **kw)
 
     def as_dtype(self, dtype) -> "GraspScorer":
         """A copy with params/BN state cast to ``dtype`` (e.g. jnp.bfloat16
