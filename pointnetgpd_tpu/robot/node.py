@@ -124,11 +124,17 @@ def run_ros_node(detector: GraspDetector, cam_pos, *,
                  cloud_topic: str = "/table_top_points",
                  marker_topic: str = "gripper_vis",
                  grasp_topic: str = "/detect_grasps/clustered_grasps",
-                 rate_hz: float = 10.0):
+                 rate_hz: float = 10.0, publish_all: bool = False,
+                 max_frames: int | None = None):
     """ROS wrapper: same topics/params as the reference node
-    (kinect2grasp.py:400-424,412-418 robot_at_home gating, :516-553 output).
-    Requires rospy + gpd_grasp_msgs + visualization_msgs at runtime."""
+    (kinect2grasp.py:400-424 setup, :412-418 robot_at_home gating, :516-553
+    output: markers for every ranked good grasp, then the BEST grasp as a
+    single-element GraspConfigList — the reference comments out the full-list
+    publish; ``publish_all=True`` restores it). Requires rospy +
+    gpd_grasp_msgs + visualization_msgs at runtime. ``max_frames`` bounds the
+    number of processed frames (None = run until shutdown)."""
     import rospy
+    from gpd_grasp_msgs.msg import GraspConfigList
     from sensor_msgs.msg import PointCloud2
     from visualization_msgs.msg import MarkerArray
 
@@ -137,29 +143,36 @@ def run_ros_node(detector: GraspDetector, cam_pos, *,
 
     rospy.init_node("grasp_tf_broadcaster", anonymous=True)
     pub_markers = rospy.Publisher(marker_topic, MarkerArray, queue_size=1)
-    pub_grasps = rospy.Publisher(grasp_topic, None, queue_size=1)
+    pub_grasps = rospy.Publisher(grasp_topic, GraspConfigList, queue_size=1)
     rate = rospy.Rate(rate_hz)
+    # simulation default, like the reference (:404); get_ur5_robot_state.py's
+    # equivalent (robot/robot_state.py) overwrites it on a real robot
     rospy.set_param("/robot_at_home", "true")
 
-    seed = 0
+    seed = frames = 0
     while not rospy.is_shutdown():
         if rospy.get_param("/robot_at_home") == "false":
             rospy.loginfo("Robot is moving, waiting for it to go home.")
             rate.sleep()
             continue
         msg = rospy.wait_for_message(cloud_topic, PointCloud2)
-        if not msg.data:
+        frames += 1
+        if msg.data:
+            points = pointcloud2_to_xyz_array(msg)
+            out = detector.process_frame(points, cam_pos, seed=seed)
+            seed += 1
+            if len(out["grasps"]) == 0:
+                rospy.loginfo("No good grasps this frame.")
+            else:
+                pub_markers.publish(
+                    gripper_marker_array(out["grasps"], detector.gripper))
+                n_pub = len(out["grasps"]) if publish_all else 1
+                pub_grasps.publish(grasp_config_list_msg(
+                    out["grasps"][:n_pub], out["scores"][:n_pub]))
+                rospy.loginfo("Published %d of %d ranked grasps",
+                              n_pub, len(out["grasps"]))
+        else:
             rospy.loginfo("No points on the table, waiting...")
-            continue
-        points = pointcloud2_to_xyz_array(msg)
-        out = detector.process_frame(points, cam_pos, seed=seed)
-        seed += 1
-        if len(out["grasps"]) == 0:
-            rospy.loginfo("No good grasps this frame.")
-            continue
-        pub_markers.publish(
-            gripper_marker_array(out["grasps"], detector.gripper))
-        pub_grasps.publish(
-            grasp_config_list_msg(out["grasps"], out["scores"]))
-        rospy.loginfo("Published %d ranked grasps", len(out["grasps"]))
+        if max_frames is not None and frames >= max_frames:
+            return
         rate.sleep()

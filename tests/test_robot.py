@@ -82,6 +82,165 @@ class TestGraspDetector:
             assert (np.diff(out["scores"]) <= 1e-7).all()
 
 
+class _AutoNS:
+    """Attribute-auto-vivifying stand-in for ROS message structs."""
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        v = _AutoNS()
+        setattr(self, name, v)
+        return v
+
+
+class _Marker(_AutoNS):
+    CUBE = 1
+    ADD = 0
+
+
+class _MarkerArray:
+    def __init__(self):
+        self.markers = []
+
+
+class _GraspConfig(_AutoNS):
+    pass
+
+
+class _GraspConfigList(_AutoNS):
+    def __init__(self):
+        self.grasps = []
+
+
+def _fake_ros_modules(monkeypatch, cloud_msg, robot_away_first=False):
+    """Install fake rospy/sensor_msgs/visualization_msgs/gpd_grasp_msgs
+    modules; returns the dict that captures published messages."""
+    import sys
+    import types
+
+    published = {}
+    params = {}
+    state = {"get_param_calls": 0, "sleeps": 0}
+
+    class _Publisher:
+        def __init__(self, topic, data_class, queue_size=0):
+            if not isinstance(data_class, type):  # real rospy raises on None
+                raise TypeError(f"invalid message class: {data_class!r}")
+            self.topic = topic
+            published.setdefault(topic, [])
+
+        def publish(self, msg):
+            published[self.topic].append(msg)
+
+    class _Rate:
+        def __init__(self, hz):
+            pass
+
+        def sleep(self):
+            state["sleeps"] += 1
+
+    def _get_param(name, *default):
+        state["get_param_calls"] += 1
+        if robot_away_first and state["get_param_calls"] == 1:
+            return "false"
+        return params.get(name, default[0] if default else None)
+
+    rospy = types.ModuleType("rospy")
+    rospy.init_node = lambda name, anonymous=False: None
+    rospy.Publisher = _Publisher
+    rospy.Rate = _Rate
+    rospy.set_param = params.__setitem__
+    rospy.get_param = _get_param
+    rospy.is_shutdown = lambda: False
+    rospy.loginfo = lambda *a: None
+    rospy.wait_for_message = lambda topic, cls: cloud_msg
+    rospy.Duration = type("Duration", (), {"from_sec": staticmethod(lambda s: s)})
+    rospy.Time = type("Time", (), {"now": staticmethod(lambda: 0.0)})
+
+    sensor = types.ModuleType("sensor_msgs")
+    sensor_msg = types.ModuleType("sensor_msgs.msg")
+    sensor_msg.PointCloud2 = type(cloud_msg)
+    vis = types.ModuleType("visualization_msgs")
+    vis_msg = types.ModuleType("visualization_msgs.msg")
+    vis_msg.Marker, vis_msg.MarkerArray = _Marker, _MarkerArray
+    gpd = types.ModuleType("gpd_grasp_msgs")
+    gpd_msg = types.ModuleType("gpd_grasp_msgs.msg")
+    gpd_msg.GraspConfig, gpd_msg.GraspConfigList = _GraspConfig, _GraspConfigList
+
+    for name, mod in [("rospy", rospy), ("sensor_msgs", sensor),
+                      ("sensor_msgs.msg", sensor_msg),
+                      ("visualization_msgs", vis),
+                      ("visualization_msgs.msg", vis_msg),
+                      ("gpd_grasp_msgs", gpd), ("gpd_grasp_msgs.msg", gpd_msg)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+    return published, params, state
+
+
+class _FakeDetector:
+    """Duck-typed GraspDetector: fixed ranked grasps, real Gripper."""
+
+    def __init__(self):
+        from pointnetgpd_tpu.grasping.gripper import Gripper
+
+        self.gripper = Gripper()
+        g = np.zeros((2, 5, 3), np.float32)
+        g[:, 0] = [[0.01, 0.02, 0.05], [-0.01, 0.0, 0.04]]
+        g[:, 1] = [0, 0, -1]
+        g[:, 2] = [0, 1, 0]
+        g[:, 3] = [1, 0, 0]
+        g[:, 4] = g[:, 0] + [0, 0, 0.005]
+        self._grasps = g
+        self.frames_seen = []
+
+    def process_frame(self, points, cam_pos, seed=0):
+        self.frames_seen.append(np.asarray(points))
+        return {"grasps": self._grasps,
+                "scores": np.array([0.9, 0.7], np.float32)}
+
+
+class TestRosNode:
+    def _run(self, monkeypatch, **kw):
+        from pointnetgpd_tpu.robot.node import run_ros_node
+
+        pts = np.random.RandomState(0).rand(64, 3).astype(np.float32)
+        published, params, state = _fake_ros_modules(
+            monkeypatch, _fake_pc2(pts), **{k: v for k, v in kw.items()
+                                            if k == "robot_away_first"})
+        det = _FakeDetector()
+        run_ros_node(det, cam_pos=np.zeros(3), max_frames=1,
+                     **{k: v for k, v in kw.items() if k != "robot_away_first"})
+        return published, params, state, det, pts
+
+    def test_one_publish_cycle(self, monkeypatch):
+        """One full frame: cloud in -> markers + best-grasp config out
+        (reference kinect2grasp.py:400-424,516-553 semantics)."""
+        published, params, state, det, pts = self._run(monkeypatch)
+        assert params["/robot_at_home"] == "true"
+        # detector got the decoded cloud
+        np.testing.assert_allclose(det.frames_seen[0], pts, atol=1e-6)
+        # 2 grasps x 3 cubes (palm + two fingers)
+        markers = published["gripper_vis"]
+        assert len(markers) == 1 and len(markers[0].markers) == 6
+        # best grasp only, with modified bottom center + score
+        glist = published["/detect_grasps/clustered_grasps"]
+        assert len(glist) == 1 and len(glist[0].grasps) == 1
+        g0 = glist[0].grasps[0]
+        np.testing.assert_allclose(
+            [g0.bottom.x, g0.bottom.y, g0.bottom.z],
+            det._grasps[0, 4], atol=1e-6)
+        assert g0.score.data == np.float32(0.9)
+
+    def test_publish_all_and_home_gating(self, monkeypatch):
+        """robot_at_home=false defers processing for one tick; publish_all
+        sends the whole ranked list."""
+        published, params, state, det, _ = self._run(
+            monkeypatch, publish_all=True, robot_away_first=True)
+        # gated tick: one sleep before any frame was processed
+        assert state["sleeps"] >= 1 and len(det.frames_seen) == 1
+        glist = published["/detect_grasps/clustered_grasps"]
+        assert len(glist[0].grasps) == 2
+
+
 def test_detector_accepts_gpd_scorer():
     """GraspDetector is scorer-agnostic: the GPD projection-CNN scorer plugs
     in through the same score_candidates interface."""
