@@ -90,8 +90,8 @@ def bench_tpu():
     # function — on tunneled chips a slow fetch congests the stdio relay for
     # minutes and would poison every timing loop that runs after it.
 
-    # bf16 variant (GraspScorer.as_dtype path): max MXU throughput when
-    # checkpoint-level parity is not required
+    # bf16 variant (GraspScorer.as_dtype path): memory knob, ~parity with
+    # fp32 in speed (f32 matmuls already run bf16 MXU passes; README)
     cast = lambda t: jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.bfloat16), t)
     p16, s16 = cast(scorer.params), cast(scorer.state)
