@@ -8,6 +8,17 @@ reference publishes no numbers (BASELINE.md), so the baseline is measured
 here, on this machine, with the reference's own model code when available
 (else a skipped vs_baseline).
 
+TIMING METHODOLOGY (fetch-bounded): on this TPU attachment (a tunneled
+relay), ``jax.block_until_ready`` does NOT reliably wait for execution —
+dispatch is deeply asynchronous and "block-timed" loops measure only Python
+dispatch cost (measured: an 8192^3 matmul "completes" in 0.05 ms that way).
+The only trustworthy clock is a device->host fetch, which serializes with
+all previously enqueued programs (in-order device execution). So every
+timing loop here is bounded by a 4-byte fetch of a device-side scalar slice
+of the final output: wall = n*compute + one small fetch, amortized over n.
+Inputs vary per iteration (fresh PRNG keys / rotating buffers) because the
+relay can also elide re-dispatch of identical (executable, args) pairs.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
@@ -24,11 +35,35 @@ SCENE_POINTS = 20000
 REF_ROOT = "/root/reference/PointNetGPD"
 
 
+def _sync(x):
+    """Serialize with the device: 4-byte fetch of a scalar slice of ``x``.
 
-def _best_of(reps, timed):
-    """Run a timed loop ``reps`` times, return the fastest per-iteration
-    time — min-of-k filters transient relay/host drag on tunneled chips."""
-    return min(timed() for _ in range(reps))
+    The slice is computed on device (queued after everything else), so its
+    arrival on the host proves all prior work finished. Never fetch whole
+    arrays here — multi-MB transfers through the relay take seconds.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    float(leaf.ravel()[0])
+
+
+def _timed(make_fn, n, reps=3):
+    """Fetch-bounded timing: best-of-``reps`` of (n dispatches + one sync).
+
+    make_fn(i) must dispatch iteration i with per-iteration-varying inputs
+    and return a device output to anchor the sync.
+    """
+    out = make_fn(0)
+    _sync(out)  # compile + drain the queue
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = make_fn(i)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def bench_tpu():
@@ -39,13 +74,10 @@ def bench_tpu():
     import jax
     import jax.numpy as jnp
 
-    from pointnetgpd_tpu.inference.scorer import GraspScorer
+    from pointnetgpd_tpu.inference.scorer import score_candidates_fused
     from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
 
     params, state = init_pointnet_cls(jax.random.PRNGKey(0), input_chann=3, k=3)
-    scorer = GraspScorer(params=params, state=state, k=3,
-                         num_points=NUM_POINTS, repeat=1,
-                         pad_to=N_CANDIDATES, min_points=10)
 
     rs = np.random.RandomState(0)
     pc = (rs.rand(SCENE_POINTS, 3) * [0.08, 0.06, 0.05]).astype(np.float32)
@@ -58,43 +90,25 @@ def bench_tpu():
     cands[:, 3] = [0, 0, 1]
 
     # end-to-end: crop + resample + forward + vote + rank, ONE device program
-    # per scene (inference/scorer.py score_candidates_fused). The throughput
-    # loop keeps results on device and blocks once — device->host fetch
-    # latency is reported separately (it depends on the TPU attachment, not
-    # the compute path; on tunneled chips it dominates).
-    from pointnetgpd_tpu.inference.scorer import score_candidates_fused
-
+    # per scene (inference/scorer.py score_candidates_fused)
     pc_dev = jax.device_put(jnp.asarray(pc))
     cands_dev = jax.device_put(jnp.asarray(cands))
     valid_in = jnp.ones((N_CANDIDATES,), bool)
 
     def scene(seed):
         return score_candidates_fused(
-            scorer.params, scorer.state, pc_dev, cands_dev, valid_in,
+            params, state, pc_dev, cands_dev, valid_in,
             jnp.float32(0.06), jnp.float32(0.08), jax.random.PRNGKey(seed),
             num_points=NUM_POINTS, repeat=1, min_points=10)
 
-    jax.block_until_ready(scene(0))  # compile
-    n_iters = 20
-    outs = [scene(0)]
-
-    def time_scene():
-        t0 = time.perf_counter()
-        outs[:] = [scene(i) for i in range(n_iters)]
-        jax.block_until_ready(outs)
-        return (time.perf_counter() - t0) / n_iters
-
-    dt = _best_of(3, time_scene)
+    dt = _timed(scene, n=20)
     cand_per_sec = N_CANDIDATES / dt
-    # NOTE: the device->host fetch is measured at the very END of this
-    # function — on tunneled chips a slow fetch congests the stdio relay for
-    # minutes and would poison every timing loop that runs after it.
 
     # bf16 variant (GraspScorer.as_dtype path): memory knob, ~parity with
     # fp32 in speed (f32 matmuls already run bf16 MXU passes; README)
     cast = lambda t: jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.bfloat16), t)
-    p16, s16 = cast(scorer.params), cast(scorer.state)
+    p16, s16 = cast(params), cast(state)
 
     def scene16(seed):
         return score_candidates_fused(
@@ -102,15 +116,7 @@ def bench_tpu():
             jnp.float32(0.06), jnp.float32(0.08), jax.random.PRNGKey(seed),
             num_points=NUM_POINTS, repeat=1, min_points=10)
 
-    jax.block_until_ready(scene16(0))  # compile
-
-    def time_scene16():
-        t0 = time.perf_counter()
-        outs16 = [scene16(i) for i in range(n_iters)]
-        jax.block_until_ready(outs16)
-        return (time.perf_counter() - t0) / n_iters
-
-    cand_per_sec_bf16 = N_CANDIDATES / _best_of(3, time_scene16)
+    cand_per_sec_bf16 = N_CANDIDATES / _timed(scene16, n=20)
 
     # train samples/sec/chip (fused crop+fwd+bwd+Adam, batch 128)
     from pointnetgpd_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
@@ -131,30 +137,19 @@ def bench_tpu():
     sharding = batch_sharding(mesh)
     args = [jax.device_put(a, sharding)
             for a in (grasps, clouds, transforms, labels, weights)]
-    key = jax.random.PRNGKey(0)
-    tstate, m = step_fn(tstate, *args, key)  # compile
-    jax.block_until_ready(m["loss"])
-    n_train_iters = 10
-    state_box = [tstate, key]
+    box = {"state": tstate}
 
-    def time_train():
-        st, k = state_box
-        t0 = time.perf_counter()
-        for _ in range(n_train_iters):
-            k, sub = jax.random.split(k)
-            st, m = step_fn(st, *args, sub)
-        jax.block_until_ready(m["loss"])
-        state_box[:] = [st, k]
-        return (time.perf_counter() - t0) / n_train_iters
+    def train_iter(i):
+        st, m = step_fn(box["state"], *args, jax.random.PRNGKey(i))
+        box["state"] = st
+        return m["loss"]
 
-    dt_train = _best_of(3, time_train)
+    dt_train = _timed(train_iter, n=10)
     train_sps_chip = batch / dt_train / n_chips
 
     # dataset-generation labeling rate: antipodal sampling + friction-ladder
     # force-closure + Ferrari-Canny, all on device (generate-dataset-canny.py
     # runs 50 host processes per object for the same labels)
-    import numpy as _np
-
     from pointnetgpd_tpu.geometry.sdf import make_sdf
     from pointnetgpd_tpu.grasping.evaluation import (
         FC_LIST_LESS_CLASS, friction_boundary_labels,
@@ -162,10 +157,10 @@ def bench_tpu():
     from pointnetgpd_tpu.grasping.samplers import antipodal_sample_grasps
 
     dim, res, r = 48, 0.0025, 0.045
-    origin = -res * (dim - 1) / 2 * _np.ones(3)
-    ii, jj, kk = _np.meshgrid(*(_np.arange(dim),) * 3, indexing="ij")
-    grid_pts = origin + res * _np.stack([ii, jj, kk], axis=-1)
-    sphere = make_sdf(_np.linalg.norm(grid_pts, axis=-1) - r, origin, res)
+    origin = -res * (dim - 1) / 2 * np.ones(3)
+    ii, jj, kk = np.meshgrid(*(np.arange(dim),) * 3, indexing="ij")
+    grid_pts = origin + res * np.stack([ii, jj, kk], axis=-1)
+    sphere = make_sdf(np.linalg.norm(grid_pts, axis=-1) - r, origin, res)
     fc = jnp.asarray(FC_LIST_LESS_CLASS)
 
     def label_round(seed):
@@ -173,32 +168,15 @@ def bench_tpu():
             sphere, jax.random.PRNGKey(seed), max_width=0.10,
             friction_coef=float(FC_LIST_LESS_CLASS[0]), num_attempts=256,
             num_samples_loa=48)
-        return friction_boundary_labels(sphere, s.configs, fc), s.valid
+        (lbl, _, lok) = friction_boundary_labels(sphere, s.configs, fc)
+        return lok & s.valid
 
-    (lbl, _, lok), valid = label_round(0)  # compile
-    jax.block_until_ready(lbl)
-    n_label_iters = 5
-    box = [lok, valid]
+    dt_label = _timed(label_round, n=5)
+    # count labeled grasps from one round (single small fetch, post-timing)
+    labels_per_sec = float(jnp.sum(label_round(0))) / dt_label
 
-    def time_label():
-        t0 = time.perf_counter()
-        for i in range(n_label_iters):
-            (lbl_i, _, lok_i), valid_i = label_round(i)
-        jax.block_until_ready(lbl_i)
-        box[:] = [lok_i, valid_i]
-        return (time.perf_counter() - t0) / n_label_iters
-
-    dt_label = _best_of(3, time_label)
-    # count labeled grasps from the LAST round only (single fetch, post-loop)
-    labels_per_sec = float(jnp.sum(box[0] & box[1])) / dt_label
-
-    # fetch LAST (see note above): one transfer of the final result tuple
-    t0 = time.perf_counter()
-    jax.device_get(outs[-1])
-    fetch_ms = (time.perf_counter() - t0) * 1e3
-
-    return (cand_per_sec, train_sps_chip, dt * 1e3, fetch_ms,
-            cand_per_sec_bf16, labels_per_sec)
+    return (cand_per_sec, train_sps_chip, dt * 1e3, cand_per_sec_bf16,
+            labels_per_sec)
 
 
 def bench_reference_torch():
@@ -243,7 +221,7 @@ def bench_reference_torch():
 
 
 def main():
-    (cand_per_sec, train_sps_chip, ms_per_scene, fetch_ms, bf16_cps,
+    (cand_per_sec, train_sps_chip, ms_per_scene, bf16_cps,
      labels_per_sec) = bench_tpu()
     baseline = bench_reference_torch()
     result = {
@@ -252,9 +230,9 @@ def main():
         "unit": "candidates/s",
         "vs_baseline": round(cand_per_sec / baseline, 2) if baseline else None,
         "extras": {
+            "timing": "fetch-bounded (block_until_ready does not block on this attachment)",
             "scene_latency_ms_512_candidates": round(ms_per_scene, 2),
             "bf16_candidates_per_sec": round(bf16_cps, 1),
-            "result_fetch_ms": round(fetch_ms, 2),
             "train_samples_per_sec_per_chip_750pt_b128": round(train_sps_chip, 1),
             "labeled_grasps_per_sec": round(labels_per_sec, 1),
             "reference_torch_cpu_candidates_per_sec": round(baseline, 1) if baseline else None,

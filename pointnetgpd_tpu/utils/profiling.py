@@ -14,6 +14,22 @@ import time
 from collections import defaultdict
 
 
+def fetch_sync(x) -> None:
+    """Serialize with the device by fetching 4 bytes of a scalar slice.
+
+    On tunneled TPU attachments ``jax.block_until_ready`` can return before
+    execution finishes (dispatch is deeply asynchronous through the relay),
+    so wall-clock timing must be bounded by a real device->host fetch. The
+    slice is computed ON DEVICE (enqueued after all prior work; in-order
+    execution), so the 4-byte arrival proves completion — never fetch whole
+    arrays for synchronization, multi-MB relay transfers take seconds.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    float(leaf.ravel()[0])
+
+
 class StageTimer:
     """Accumulating per-stage wall-clock timer (device-synchronized)."""
 
@@ -23,16 +39,14 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str, sync=None):
-        """``sync``: optional array/pytree to block_until_ready on exit so
-        async dispatch does not hide device time."""
+        """``sync``: optional array/pytree to fetch-synchronize on exit so
+        async dispatch does not hide device time (see ``fetch_sync``)."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
             if sync is not None:
-                import jax
-
-                jax.block_until_ready(sync)
+                fetch_sync(sync)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
