@@ -148,12 +148,27 @@ def mesh_to_sdf(mesh: Mesh3D, dim: int = 100, padding: int = 5,
                                                            4.2360679775])
 
     idx = np.arange(dim, dtype=np.float32)
-    ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")
-    pts = origin + res * np.stack([ii, jj, kk], axis=-1)
-    pts_flat = jnp.asarray(pts.reshape(-1, 3))
+    tri_v_np = verts[tris]                               # (F, 3, 3)
+    tri_v = jnp.asarray(tri_v_np)
 
-    tri_v = jnp.asarray(verts[tris])                     # (F, 3, 3)
-    dist = np.asarray(_unsigned_distance(pts_flat, tri_v)).reshape(dim, dim, dim)
+    if jax.default_backend() == "tpu":
+        # Pallas kernel: spatially-blocked grid + bounding-sphere pruning
+        # (ops/point_triangle_pallas.py) — ~2.6x the XLA path at 8k tris
+        from .point_triangle_pallas import (
+            blocked_grid, min_point_triangle_dist2, pack_triangles)
+
+        pts_blocked, unblock = blocked_grid(dim, dim, dim, origin, res)
+        tri_data, sup_data = pack_triangles(tri_v_np)
+        d2 = min_point_triangle_dist2(
+            jnp.asarray(pts_blocked), jnp.asarray(tri_data),
+            jnp.asarray(sup_data))
+        dist = np.sqrt(np.maximum(unblock(d2), 0.0))
+    else:
+        ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")
+        pts = origin + res * np.stack([ii, jj, kk], axis=-1)
+        pts_flat = jnp.asarray(pts.reshape(-1, 3))
+        dist = np.asarray(_unsigned_distance(pts_flat, tri_v)).reshape(
+            dim, dim, dim)
 
     cols = origin[:2] + res * np.stack(
         np.meshgrid(idx, idx, indexing="ij"), axis=-1).reshape(-1, 2)
