@@ -25,7 +25,7 @@ from .grasp import (
     t_grasp_obj,
 )
 from .graspable_object import GraspableObject3D
-from .gripper import Gripper
+from .gripper import Gripper, named_transforms
 from .quality import (
     ferrari_canny_l1_force_only,
     force_closure,

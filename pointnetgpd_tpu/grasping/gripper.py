@@ -86,6 +86,77 @@ class Gripper:
         fields = {k: v for k, v in params.items() if k in cls.__dataclass_fields__}
         return cls(name=name, **fields)
 
+    @classmethod
+    def named(cls, name: str) -> "Gripper":
+        """Built-in gripper parameter sets shipped with the framework
+        (values from the reference assets
+        dex-net/data/grippers/{robotiq_85,baxter,yumi_metal_spline}/params.json).
+
+        Like ``from_json``, keys absent from a gripper's param set keep the
+        robotiq_85 dataclass defaults (the reference only sets the keys
+        present in the json; its baxter/yumi sets carry the dataset-generation
+        params + finger_width only)."""
+        try:
+            overrides = _NAMED_GRIPPERS[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown gripper {name!r}; built-ins: "
+                f"{sorted(_NAMED_GRIPPERS)}") from None
+        return cls(name=name, **overrides)
+
+
+# Built-in parameter sets (reference: dex-net/data/grippers/*/params.json).
+# robotiq_85 is the dataclass default set above.
+_NAMED_GRIPPERS = {
+    "robotiq_85": {},
+    "baxter": dict(min_width=0.025, max_width=0.06, force_limit=30.0,
+                   finger_radius=0.01, max_depth=0.05, finger_width=0.01),
+    "yumi_metal_spline": dict(min_width=0.0, force_limit=20.0, max_width=0.05,
+                              finger_radius=0.01, max_depth=0.04,
+                              finger_width=0.01),
+}
+
+
+def _tf(rotation_rows, translation):
+    t = np.eye(4)
+    t[:3, :3] = np.asarray(rotation_rows, np.float64)
+    t[:3, 3] = np.asarray(translation, np.float64)
+    return t
+
+
+# Robot-specific gripper-frame conventions as 4x4 homogeneous transforms
+# (reference: dex-net/data/grippers/*/T_grasp_gripper.tf and
+# T_mesh_gripper.tf, the autolab RigidTransform text format: from-frame,
+# to-frame, translation, three rotation rows). ``t_grasp_gripper`` maps
+# gripper-frame coords to grasp-frame coords and composes on the right of
+# t_grasp_obj exactly as the reference's
+# ``T_grasp_obj * T_gripper_grasp`` (grasp.py:393-399).
+_NAMED_TRANSFORMS = {
+    "robotiq_85": {
+        "t_grasp_gripper": _tf(np.eye(3), [0, 0, 0]),
+        "t_mesh_gripper": _tf([[0, 1, 0], [1, 0, 0], [0, 0, -1]],
+                              [0, 0.0675, 0]),
+    },
+    "baxter": {
+        "t_grasp_gripper": _tf([[0, 0, -1], [0, 1, 0], [1, 0, 0]], [0, 0, 0]),
+        "t_mesh_gripper": _tf(np.eye(3), [0.005, 0, 0.055]),
+    },
+    "yumi_metal_spline": {
+        "t_grasp_gripper": _tf([[0, 0, 1], [1, 0, 0], [0, 1, 0]], [0, 0, 0]),
+        "t_mesh_gripper": _tf(np.eye(3), [0, 0, 0.078237]),
+    },
+}
+
+
+def named_transforms(name: str) -> dict:
+    """The built-in (t_grasp_gripper, t_mesh_gripper) 4x4s for a gripper."""
+    try:
+        return {k: v.copy() for k, v in _NAMED_TRANSFORMS[name].items()}
+    except KeyError:
+        raise KeyError(
+            f"unknown gripper {name!r}; built-ins: "
+            f"{sorted(_NAMED_TRANSFORMS)}") from None
+
 
 def hand_points(gripper: Gripper) -> np.ndarray:
     """The 21-point hand model in the local grasp frame (approach = +x,

@@ -147,7 +147,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    gripper = Gripper()
+    gripper = Gripper.named(args.gripper)
     file_dir = os.path.join(args.data_root,
                             "PointNetGPD/data/ycb-tools/models/ycb")
     objects = sorted(

@@ -190,6 +190,71 @@ class TestHandGeometry:
         assert counts[1] == 0 and counts[3] == 0
 
 
+class TestNamedGrippers:
+    """Built-in gripper assets (reference: dex-net/data/grippers/*)."""
+
+    def test_baxter_params(self):
+        g = Gripper.named("baxter")
+        assert g.name == "baxter"
+        assert g.min_width == 0.025
+        assert g.max_width == 0.06
+        assert g.force_limit == 30.0
+        assert g.max_depth == 0.05
+        assert g.finger_width == 0.01
+
+    def test_yumi_params(self):
+        g = Gripper.named("yumi_metal_spline")
+        assert g.min_width == 0.0
+        assert g.max_width == 0.05
+        assert g.force_limit == 20.0
+        assert g.max_depth == 0.04
+
+    def test_robotiq_named_is_default(self):
+        assert Gripper.named("robotiq_85") == Gripper()
+
+    def test_unknown_name(self):
+        with pytest.raises(KeyError):
+            Gripper.named("no_such_gripper")
+
+    def test_named_matches_from_json(self, tmp_path):
+        """A reference-format params.json round-trips to the built-in set."""
+        import json
+
+        path = tmp_path / "params.json"
+        path.write_text(json.dumps({
+            "min_width": 0.025, "max_width": 0.06, "force_limit": 30.0,
+            "finger_radius": 0.01, "max_depth": 0.05, "finger_width": 0.01}))
+        g = Gripper.from_json(str(path), name="baxter")
+        assert g == Gripper.named("baxter")
+
+    def test_transforms_are_rigid(self):
+        from pointnetgpd_tpu.grasping.gripper import named_transforms
+
+        for name in ("robotiq_85", "baxter", "yumi_metal_spline"):
+            tfs = named_transforms(name)
+            for t in tfs.values():
+                r = t[:3, :3]
+                np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-12)
+                np.testing.assert_allclose(t[3], [0, 0, 0, 1])
+
+    def test_gripper_pose_composes_convention(self):
+        """gripper_pose applies t_grasp_gripper on the right, matching the
+        reference's T_grasp_obj * T_gripper_grasp (grasp.py:393-399)."""
+        from pointnetgpd_tpu.grasping.gripper import named_transforms
+
+        g = Gripper.named("baxter")
+        tf = named_transforms("baxter")["t_grasp_gripper"]
+        config = np.zeros(10)
+        config[3:6] = [0, 1, 0]  # binormal
+        config[6] = 0.05
+        pose_id = g.gripper_pose(config)
+        pose_bx = g.gripper_pose(config, t_grasp_gripper=tf)
+        np.testing.assert_allclose(pose_bx, pose_id @ tf, atol=1e-12)
+        # baxter's convention swaps gripper x into grasp -z and back
+        np.testing.assert_allclose(pose_bx[:3, :3] @ tf[:3, :3].T,
+                                   pose_id[:3, :3], atol=1e-12)
+
+
 class TestGpgSampler:
     def test_box_scene_candidates(self):
         """A box on a table: GPG must produce valid candidates whose open
