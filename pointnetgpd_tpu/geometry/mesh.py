@@ -360,7 +360,11 @@ class Mesh3D:
         Each hull face either supports the COM (its projection falls inside
         the face -> stable sink) or topples across its closest edge onto the
         neighboring face; face probability mass drains to sinks. Initial
-        probabilities use the facet-area approximation of the spherical map.
+        probabilities are the quasi-static spherical map: each hull triangle
+        is projected from the COM onto the unit sphere and its spherical
+        area (L'Huilier's theorem) over 4*pi is the chance a random tumble
+        lands on it (reference: meshpy/mesh.py:1418-1452 _compute_proj_area,
+        used at :1540). The areas tile the sphere, so the prior sums to 1.
 
         Returns a list of dicts {p, r, x0, face}: probability, 3x3 rotation
         taking object coords to a frame with the face down (z up), a support
@@ -386,9 +390,8 @@ class Mesh3D:
         n_faces = group.max() + 1
         face_tris = [np.where(group == g)[0] for g in range(n_faces)]
 
-        tri_areas = Mesh3D(self.vertices, tris.astype(np.int32)).tri_areas()
-        areas = np.array([tri_areas[ts].sum() for ts in face_tris])
-        probs0 = areas / areas.sum()
+        tri_sph = _spherical_projection_areas(self.vertices, tris, com)
+        probs0 = np.array([tri_sph[ts].sum() for ts in face_tris]) / (4 * np.pi)
         normals = np.stack([eqs[ts[0], :3] for ts in face_tris])
         normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True),
                               1e-18)
@@ -476,6 +479,28 @@ class Mesh3D:
                           "face": faces[s].copy()})
         poses.sort(key=lambda d: -d["p"])
         return poses
+
+
+def _spherical_projection_areas(verts, tris, cm) -> np.ndarray:
+    """(T,) spherical area of each triangle projected from ``cm`` onto the
+    unit sphere, via L'Huilier's theorem (reference: meshpy/mesh.py:1418-1452
+    — there per-triangle with math.acos/atan; here vectorized; the
+    reference's exception fallback ``s += 0.001`` for slightly-negative
+    tangent products is replaced by clipping the product to >= 0, identical
+    on non-degenerate triangles)."""
+    pv = verts[np.asarray(tris)] - np.asarray(cm)          # (T, 3, 3)
+    pv = pv / np.maximum(np.linalg.norm(pv, axis=-1, keepdims=True), 1e-300)
+
+    def _angle(u, v):
+        return np.arccos(np.clip(np.einsum("ti,ti->t", u, v), -1.0, 1.0))
+
+    a = _angle(pv[:, 0], pv[:, 1])
+    b = _angle(pv[:, 0], pv[:, 2])
+    c = _angle(pv[:, 1], pv[:, 2])
+    s = (a + b + c) / 2
+    prod = (np.tan(s / 2) * np.tan((s - a) / 2) * np.tan((s - b) / 2)
+            * np.tan((s - c) / 2))
+    return 4 * np.arctan(np.sqrt(np.maximum(prod, 0.0)))
 
 
 def center_of_mass(vertices, triangles) -> np.ndarray:

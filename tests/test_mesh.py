@@ -120,10 +120,63 @@ class TestStablePoses:
     def test_tall_box_prefers_flat_pose(self):
         m = Mesh3D(unit_cube().vertices * [1.0, 1.0, 4.0], unit_cube().triangles)
         poses = m.stable_poses()
-        # side faces are 4x the area of the end faces -> much higher prob
+        # the quasi-static spherical map makes the far-away end faces even
+        # less likely than their area fraction -> sides dominate strongly
         assert poses[0]["p"] > 0.2
         top_face_normalish = abs((poses[0]["r"][2] @ [0, 0, 1]))
         assert top_face_normalish < 0.5  # most probable pose lies on a side
+
+    def test_tall_box_end_face_solid_angle(self):
+        """The prior of an end face is its exact solid angle from the COM:
+        for a 1x1 face at distance d=2, Omega = 4*arcsin(1/((4d^2+1))) ...
+        analytically 4*arcsin(a*b / sqrt((4d^2+a^2)(4d^2+b^2)))."""
+        m = Mesh3D(unit_cube().vertices * [1.0, 1.0, 4.0], unit_cube().triangles)
+        poses = m.stable_poses()
+        omega_end = 4 * np.arcsin(1.0 / np.sqrt(17.0 * 17.0))
+        p_end = omega_end / (4 * np.pi)
+        probs = sorted(p["p"] for p in poses)
+        # 6 sinks on a box: 2 end faces (smallest), 4 sides
+        assert len(probs) == 6
+        np.testing.assert_allclose(probs[:2], p_end, atol=1e-9)
+        np.testing.assert_allclose(probs[2:], (1 - 2 * p_end) / 4, atol=1e-9)
+        np.testing.assert_allclose(sum(probs), 1.0, atol=1e-9)
+
+    def test_spherical_map_matches_reference_oracle(self):
+        """_spherical_projection_areas vs a scalar transcription of the
+        reference algorithm (meshpy/mesh.py:1418-1452: per-triangle
+        projection to the COM unit sphere + L'Huilier), to 1e-6, on the hulls
+        of a tetrahedron, a cube, and an elongated box."""
+        import math
+
+        from scipy.spatial import ConvexHull
+
+        from pointnetgpd_tpu.geometry.mesh import _spherical_projection_areas
+
+        def ref_proj_area(verts3, cm):
+            proj = [(v - cm) / np.linalg.norm(v - cm) for v in verts3]
+            a = math.acos(min(1, max(-1, np.dot(proj[0], proj[1]))))
+            b = math.acos(min(1, max(-1, np.dot(proj[0], proj[2]))))
+            c = math.acos(min(1, max(-1, np.dot(proj[1], proj[2]))))
+            s = (a + b + c) / 2
+            return 4 * math.atan(math.sqrt(max(
+                math.tan(s / 2) * math.tan((s - a) / 2)
+                * math.tan((s - b) / 2) * math.tan((s - c) / 2), 0.0)))
+
+        tetra = Mesh3D(
+            np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]]),
+            np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]], np.int32))
+        meshes = [tetra, unit_cube(),
+                  Mesh3D(unit_cube().vertices * [1.0, 1.0, 4.0],
+                         unit_cube().triangles)]
+        for m in meshes:
+            cm = m.center_of_mass()
+            tris = ConvexHull(m.vertices).simplices
+            ours = _spherical_projection_areas(m.vertices, tris, cm)
+            want = [ref_proj_area([m.vertices[i] for i in t], cm)
+                    for t in tris]
+            np.testing.assert_allclose(ours, want, atol=1e-6)
+            # projected from an interior point, the triangles tile the sphere
+            np.testing.assert_allclose(ours.sum(), 4 * np.pi, rtol=1e-9)
 
 
 @requires_reference
