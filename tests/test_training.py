@@ -59,7 +59,7 @@ def test_fused_train_step_learns_on_dp_mesh():
 
     key = jax.random.PRNGKey(0)
     losses = []
-    for i in range(6):
+    for i in range(16):
         grasps, clouds, transforms, labels, weights = data.next_batch()
         args = [jax.device_put(a, sharding)
                 for a in (grasps, clouds, transforms, labels, weights)]
@@ -68,8 +68,11 @@ def test_fused_train_step_learns_on_dp_mesh():
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])
         assert 0.0 <= float(metrics["valid_frac"]) <= 1.0
-    assert losses[-1] < losses[0]  # it learns something
-    assert int(state.step) == 6
+    # single-step deltas are noisy at batch 16; compare half-means so the
+    # assertion tests the trend, not one step's resampling luck
+    assert np.mean(losses[8:]) < np.mean(losses[:8])  # it learns something
+    assert min(losses) < 0.7 * losses[0]
+    assert int(state.step) == 16
 
 
 def test_dp_matches_single_device():
