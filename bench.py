@@ -179,6 +179,53 @@ def bench_tpu():
             labels_per_sec)
 
 
+def bench_voxelizer_extra():
+    """Voxelizer distance pass: Pallas kernel vs the XLA path, on the shape
+    of the commit-recorded measurement (100^3 grid x 8192-triangle sphere —
+    the bounding-sphere pruning's worst case). Returns (pallas_ms, speedup)
+    or None off-TPU (the Pallas path only lowers on the TPU backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return None
+    from pointnetgpd_tpu.ops.mesh_to_sdf import _unsigned_distance
+    from pointnetgpd_tpu.ops.point_triangle_pallas import (
+        blocked_grid, min_point_triangle_dist2, pack_triangles,
+    )
+
+    # UV sphere: 2 * 64 * 64 = 8192 triangles, radius 5 cm
+    nu, nv, r = 64, 64, 0.05
+    th = np.linspace(0.0, np.pi, nv + 1)
+    ph = np.linspace(0.0, 2 * np.pi, nu, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    verts = np.stack([r * np.sin(tt) * np.cos(pp),
+                      r * np.sin(tt) * np.sin(pp),
+                      r * np.cos(tt)], axis=-1).reshape(-1, 3)
+    idx = lambda i, j: i * nu + (j % nu)
+    tris = []
+    for i in range(nv):
+        for j in range(nu):
+            tris.append([idx(i, j), idx(i + 1, j), idx(i, j + 1)])
+            tris.append([idx(i, j + 1), idx(i + 1, j), idx(i + 1, j + 1)])
+    tri_v = verts[np.asarray(tris)].astype(np.float32)     # (8192, 3, 3)
+
+    dim, res = 100, 2.2 * r / 89                           # ~SDFGen padding 5
+    origin = -res * (dim - 1) / 2 * np.ones(3)
+    pts_blocked, _ = blocked_grid(dim, dim, dim, origin, res)
+    tri_data, sup_data = pack_triangles(tri_v)
+    td, sd = jnp.asarray(tri_data), jnp.asarray(sup_data)
+    tri_dev = jnp.asarray(tri_v)
+    # rotate inputs so the relay cannot elide identical re-dispatches
+    pts_rot = [jnp.asarray(pts_blocked + 1e-6 * i) for i in range(3)]
+
+    dt_pallas = _timed(lambda i: min_point_triangle_dist2(
+        pts_rot[i % 3], td, sd), n=2, reps=2)
+    dt_xla = _timed(lambda i: _unsigned_distance(pts_rot[i % 3], tri_dev),
+                    n=2, reps=2)
+    return dt_pallas * 1e3, dt_xla / dt_pallas
+
+
 def bench_reference_torch():
     """Reference path: host numpy crop + per-candidate batch-1 torch calls."""
     if not os.path.isdir(REF_ROOT):
@@ -223,6 +270,10 @@ def bench_reference_torch():
 def main():
     (cand_per_sec, train_sps_chip, ms_per_scene, bf16_cps,
      labels_per_sec) = bench_tpu()
+    try:
+        vox = bench_voxelizer_extra()
+    except Exception:
+        vox = None
     baseline = bench_reference_torch()
     result = {
         "metric": "grasp_candidates_scored_per_sec_750pt",
@@ -236,6 +287,8 @@ def main():
             "train_samples_per_sec_per_chip_750pt_b128": round(train_sps_chip, 1),
             "labeled_grasps_per_sec": round(labels_per_sec, 1),
             "reference_torch_cpu_candidates_per_sec": round(baseline, 1) if baseline else None,
+            "voxelizer_pallas_ms_100cube_8192tri": round(vox[0], 1) if vox else None,
+            "voxelizer_pallas_speedup_vs_xla": round(vox[1], 2) if vox else None,
         },
     }
     print(json.dumps(result))
