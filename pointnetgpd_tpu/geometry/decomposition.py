@@ -13,10 +13,12 @@ Precondition inherited from the voxelizer: the input mesh must not be
 self-intersecting (ray parity is undefined on overlapping-solid unions —
 see ops/mesh_to_sdf.py).
 
-Differences from vhacd proper (documented deviation, docs/QUIRKS.md):
-no voxel-cluster merging pass and axis-aligned candidate planes only —
-sufficient for the database's ``convex_pieces`` store and URDF export, where
-pieces only need to be convex and to cover the solid.
+Control flow mirrors vhacd's: split greedily until every cluster is within
+the concavity tolerance, then MERGE adjacent clusters back together whenever
+their union stays within tolerance (vhacd's refinement pass; the greedy
+axis-aligned splitter over-cuts, and the merge repairs the piece count).
+Remaining deviation from vhacd proper (documented, docs/QUIRKS.md):
+axis-aligned candidate planes only.
 """
 
 from __future__ import annotations
@@ -106,17 +108,59 @@ class _Cluster:
         return (best[1], best[2]) if best is not None else None
 
 
+_FACE_NEIGHBORS = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                            [0, -1, 0], [0, 0, 1], [0, 0, -1], [0, 0, 0]])
+
+
+def _clusters_adjacent(a: "_Cluster", b: "_Cluster") -> bool:
+    """True when some voxel of ``a`` face-touches (or overlaps) one of ``b``."""
+    small, big = (a, b) if len(a.cells) <= len(b.cells) else (b, a)
+    big_set = {tuple(c) for c in big.cells.astype(np.int64)}
+    for c in small.cells.astype(np.int64):
+        for d in _FACE_NEIGHBORS:
+            if tuple(c + d) in big_set:
+                return True
+    return False
+
+
+def _merge_pass(clusters: list, concavity_tol: float, res: float) -> list:
+    """vhacd's cluster-merge refinement: repeatedly merge the adjacent pair
+    whose UNION has the lowest concavity, as long as that concavity stays
+    within tolerance. Repairs the over-cutting of the greedy axis-aligned
+    splitter (e.g. an L cut into 3 collapses back to 2)."""
+    clusters = list(clusters)
+    while len(clusters) > 1:
+        best = None
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                if not _clusters_adjacent(clusters[i], clusters[j]):
+                    continue
+                union = _Cluster(
+                    np.concatenate([clusters[i].cells, clusters[j].cells]),
+                    res)
+                if union.concavity <= concavity_tol and (
+                        best is None or union.concavity < best[0]):
+                    best = (union.concavity, i, j, union)
+        if best is None:
+            break
+        _, i, j, union = best
+        clusters = [c for k, c in enumerate(clusters)
+                    if k not in (i, j)] + [union]
+    return clusters
+
+
 def approximate_convex_decomposition(
         mesh: Mesh3D, max_pieces: int = 8, concavity_tol: float = 0.05,
         dim: int = 48, min_cells: int = 8):
     """Voxel-based approximate convex decomposition.
 
     Mirrors vhacd's control flow (reference consumer:
-    meshpy/meshpy/urdf_writer.py:76): voxelize, then greedily split the
-    cluster with the highest concavity ``1 - vox_volume / hull_volume``
-    until every cluster is within ``concavity_tol`` or ``max_pieces`` is
-    reached. Returns a list of convex :class:`Mesh3D` pieces (length 1 for
-    convex inputs).
+    meshpy/meshpy/urdf_writer.py:76): voxelize, greedily split the cluster
+    with the highest concavity ``1 - vox_volume / hull_volume`` until every
+    cluster is within ``concavity_tol`` or ``max_pieces`` is reached, then
+    run the merge refinement (adjacent clusters whose union stays within
+    tolerance collapse back into one piece). Returns a list of convex
+    :class:`Mesh3D` pieces (length 1 for convex inputs).
     """
     from ..ops.mesh_to_sdf import mesh_to_sdf
 
@@ -146,6 +190,7 @@ def approximate_convex_decomposition(
             heapq.heappush(heap, (-child.concavity, counter, child))
             counter += 1
     done.extend(cl for _, _, cl in heap)
+    done = _merge_pass(done, concavity_tol, res)
 
     pieces = []
     for cl in done:
