@@ -44,33 +44,92 @@ def voxel_downsample(points, n_grid: int = 500):
     return jnp.where(mask[:, None], centers, 0.0), mask
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def estimate_normals_knn(points, camera_pos, *, k: int = 30, chunk: int = 1024):
+def smallest_eigvec_sym3x3(a):
+    """Closed-form least-eigenvalue eigenvector of batched symmetric 3x3
+    matrices (Eberly's trigonometric eigensolver) — replaces
+    ``jnp.linalg.eigh``, which lowers to an iterative solver that costs
+    ~70 ms for 20k matrices on a v5e chip vs <1 ms closed-form.
+
+    a: (..., 3, 3) symmetric. Returns (..., 3) unit vectors (sign arbitrary).
+    Isotropic inputs (all eigenvalues equal) return [0, 0, 1].
+    """
+    eye = jnp.eye(3, dtype=a.dtype)
+    # condition: shift by the mean eigenvalue and scale to O(1)
+    q = jnp.trace(a, axis1=-2, axis2=-1)[..., None, None] / 3.0
+    a_c = a - q * eye
+    scale = jnp.max(jnp.abs(a_c), axis=(-2, -1), keepdims=True)
+    tiny = jnp.asarray(1e-30, a.dtype)
+    b = a_c / jnp.maximum(scale, tiny)
+
+    p = jnp.sqrt(jnp.sum(b * b, axis=(-2, -1), keepdims=True) / 6.0)
+    p_safe = jnp.maximum(p, tiny)
+    c = b / p_safe
+    r = jnp.clip(jnp.linalg.det(c)[..., None, None] / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # the smallest eigenvalue of the shifted/scaled matrix
+    lam_min = 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    # eigenvector: rows of (b - lam_min I) span the normal complement; the
+    # largest pairwise cross product of its rows is the eigenvector
+    m = b - lam_min * eye
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    cands = jnp.stack([jnp.cross(r0, r1), jnp.cross(r0, r2),
+                       jnp.cross(r1, r2)], axis=-2)        # (..., 3, 3)
+    norms = jnp.linalg.norm(cands, axis=-1)                # (..., 3)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1),
+                            axis=-2)[..., 0, :]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    fallback = jnp.zeros_like(v).at[..., 2].set(1.0)
+    degenerate = (n < 1e-12) | (scale[..., 0] < tiny)
+    return jnp.where(degenerate, fallback, v / jnp.maximum(n, tiny))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "exact"))
+def estimate_normals_knn(points, camera_pos, *, k: int = 30,
+                         chunk: int = 1024, exact: bool = False):
     """Per-point surface normals by k-NN plane fitting, flipped toward the
     camera (kinect2grasp.py:131-144; pcl NormalEstimation KSearch=30 —
     covariance of the k nearest neighbors, normal = least eigenvector).
 
     points: (P, 3); camera_pos: (3,). Returns (P, 3) unit normals. Pairwise
-    distances are computed in query chunks so HBM stays bounded for large P.
+    distances are computed in query chunks so HBM stays bounded for large P,
+    with the cross term as an MXU matmul (|q-p|^2 = |q|^2 - 2 q.p + |p|^2).
+
+    ``exact=False`` (default) selects neighbors with the TPU-native
+    ``lax.approx_min_k`` (~9x faster than exact top_k at P=20k; ~0.95 recall
+    per neighbor — on CPU it IS exact). The reference's pcl KSearch is an
+    exact KNN; plane-fit normals are statistically insensitive to the
+    occasional swapped neighbor (tests/test_cloud_ops.py property tests),
+    but ``exact=True`` restores exact selection for oracle comparisons.
     """
     p_total = points.shape[0]
     k = min(k, p_total)  # clouds smaller than KSearch use all points
     if k == 0:
         return jnp.zeros((0, 3), points.dtype)
     pad = (-p_total) % chunk
+    # finite far padding: inf would make the matmul-form d2 NaN (inf - inf)
     pts_pad = jnp.concatenate(
-        [points, jnp.full((pad, 3), jnp.inf, points.dtype)]) if pad else points
+        [points, jnp.full((pad, 3), 1e9, points.dtype)]) if pad else points
     n_chunks = pts_pad.shape[0] // chunk
+    p_sq = jnp.sum(points * points, axis=-1)
 
     def one_chunk(queries):
-        d2 = jnp.sum((queries[:, None, :] - points[None, :, :]) ** 2, axis=-1)
-        _, nbr = jax.lax.top_k(-d2, k)                 # (chunk, k) incl. self
+        # full-precision matmul: bf16 MXU passes would scramble the ranking
+        # of near-equidistant neighbors
+        cross = jnp.matmul(queries, points.T,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = (jnp.sum(queries * queries, axis=-1)[:, None] - 2.0 * cross
+              + p_sq[None, :])
+        if exact:
+            _, nbr = jax.lax.top_k(-d2, k)             # (chunk, k) incl. self
+        else:
+            _, nbr = jax.lax.approx_min_k(d2, k)
         nbr_pts = points[nbr]                          # (chunk, k, 3)
         mean = jnp.mean(nbr_pts, axis=1, keepdims=True)
         centered = nbr_pts - mean
         cov = jnp.einsum("qki,qkj->qij", centered, centered)
-        _, vecs = jnp.linalg.eigh(cov)
-        return vecs[:, :, 0]                           # least eigenvector
+        return smallest_eigvec_sym3x3(cov)
 
     normals = jax.lax.map(
         one_chunk, pts_pad.reshape(n_chunks, chunk, 3)).reshape(-1, 3)

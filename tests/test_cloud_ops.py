@@ -43,6 +43,45 @@ class TestVoxelDownsample:
         assert (d <= step / 2 + 1e-6).all()
 
 
+class TestSmallestEigvec3x3:
+    def test_matches_eigh_on_random_covariances(self):
+        from pointnetgpd_tpu.ops.cloud import smallest_eigvec_sym3x3
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(200, 12, 3) * rng.rand(200, 1, 3)  # anisotropic
+        cov = np.einsum("bki,bkj->bij", x - x.mean(1, keepdims=True),
+                        x - x.mean(1, keepdims=True))
+        v = np.asarray(smallest_eigvec_sym3x3(jnp.asarray(cov)))
+        w, vecs = np.linalg.eigh(cov)
+        want = vecs[:, :, 0]
+        # eigenvector up to sign; tolerance scales with the eigengap
+        cos = np.abs(np.sum(v * want, axis=-1))
+        gap = (w[:, 1] - w[:, 0]) / np.maximum(w[:, 2], 1e-30)
+        assert cos[gap > 1e-3].min() > 1 - 1e-4
+        np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0,
+                                   atol=1e-6)
+
+    def test_isotropic_falls_back(self):
+        from pointnetgpd_tpu.ops.cloud import smallest_eigvec_sym3x3
+
+        v = np.asarray(smallest_eigvec_sym3x3(jnp.stack(
+            [jnp.eye(3), jnp.zeros((3, 3)), 2.0 * jnp.eye(3)])))
+        assert np.isfinite(v).all()
+        np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-6)
+
+    def test_tiny_scale_conditioning(self):
+        """Covariances of mm-scale clouds (entries ~1e-8) must not lose the
+        eigenvector to fp32 underflow."""
+        from pointnetgpd_tpu.ops.cloud import smallest_eigvec_sym3x3
+
+        rng = np.random.RandomState(1)
+        x = (rng.randn(50, 30, 3) * [1e-3, 1e-3, 1e-5]).astype(np.float32)
+        cov = np.einsum("bki,bkj->bij", x, x)
+        v = np.asarray(smallest_eigvec_sym3x3(jnp.asarray(cov)))
+        cos = np.abs(v[:, 2])
+        assert cos.min() > 0.99  # least variance along z
+
+
 class TestKnnNormals:
     def test_plane_normals(self):
         rng = np.random.RandomState(2)
