@@ -222,7 +222,7 @@ class GpgCandidates(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "gripper", "num_seeds", "max_neighbors", "num_dy", "dtheta_deg",
-    "range_dtheta", "approach_steps", "min_open_points"))
+    "range_dtheta", "approach_steps", "min_open_points", "seed_chunk"))
 def gpg_sample_candidates(
     points,
     normals,
@@ -241,6 +241,7 @@ def gpg_sample_candidates(
     min_open_points: int = 10,
     r_ball: float | None = None,
     point_frames=None,
+    seed_chunk: int = 8,
 ) -> GpgCandidates:
     """GPG candidate generation on a raw cloud, fully batched
     (GpgGraspSamplerPcl.sample_grasps, grasp_sampler.py:1389-1656).
@@ -251,6 +252,15 @@ def gpg_sample_candidates(
         (e.g. SDF-curvature frames); when given they replace the r-ball
         normal-covariance estimate, making frame selection deterministic.
     Returns up to num_seeds * n_theta packed candidates with validity mask.
+
+    Memory shape: the cloud is rotated into the grasp frame ONCE per
+    (seed, theta); every dy offset, approach step, and the final check are
+    box tests with SHIFTED BOUNDS on that one (P, 3) array (a bc move along
+    the frame axes is a pure coordinate shift), fused into count reductions.
+    Seeds run in ``seed_chunk``-sized blocks (lax.map) so peak HBM is
+    O(seed_chunk * n_theta * P * 3) — a naive per-(seed, theta, dy) batch
+    materializes seeds x thetas x dys x P x 3 (81 GB at production scale:
+    150 seeds, 85k points) and OOMs the chip.
     """
     p_total = points.shape[0]
     dtype = points.dtype
@@ -267,10 +277,13 @@ def gpg_sample_candidates(
     # sample seeds from points above the table (kinect2grasp.py:145-147)
     above = points[:, 2] > min_points_above_table
     k_seed, _ = jax.random.split(key)
-    # masked choice: random keys, invalid pushed to +inf
+    # masked choice: random keys, invalid pushed to -inf
     z = jax.random.uniform(k_seed, (p_total,))
-    z = jnp.where(above, z, jnp.inf)
-    seed_idx = jnp.argsort(z)[:num_seeds]
+    z = jnp.where(above, z, -jnp.inf)
+    _, seed_idx = jax.lax.top_k(z, min(num_seeds, p_total))
+    if seed_idx.shape[0] < num_seeds:
+        seed_idx = jnp.pad(seed_idx, (0, num_seeds - seed_idx.shape[0]),
+                           mode="edge")
 
     thetas = jnp.arange(-range_dtheta, range_dtheta + 1, dtheta_deg,
                         dtype=dtype) / 180.0 * jnp.pi
@@ -287,66 +300,86 @@ def gpg_sample_candidates(
                         [-axis[1], axis[0], 0.0]], dtype)
         return c * jnp.eye(3, dtype=dtype) + s * kx + (1 - c) * jnp.outer(axis, axis)
 
-    def counts_at(bc, approach, major, minor):
-        rot = jnp.stack([approach, major, minor])
-        pf = (points - bc) @ rot.T
-        return collision_and_open_counts(pf, boxes)  # [open, bottom, left, right]
+    def counts_shifted(pf0, sx, sy):
+        """Box counts [open, bottom, left, right] for the grasp frame moved
+        by (sx, sy, 0) IN FRAME COORDS: pf0 is the cloud in the unshifted
+        frame, so moving bottom_center by sx*approach + sy*major shifts the
+        box bounds instead of re-rotating the cloud. Comparisons fuse into
+        the count reduction — no (.., P, 3) batch materializes."""
+        shift = jnp.stack([sx, sy, jnp.zeros_like(sx)])
+        inside = jnp.all((pf0[None, :, :] > boxes[:, 0][:, None, :] + shift)
+                         & (pf0[None, :, :] < boxes[:, 1][:, None, :] + shift),
+                         axis=-1)                       # (4, P)
+        return jnp.sum(inside, axis=1)                  # (4,)
 
-    def one_seed(si):
+    # per-seed local frames, ONE batched pass for all seeds (doing the
+    # neighbor search inside the per-seed loop serializes 150 top_k calls
+    # over the whole cloud — hundreds of ms; batched it is one (S, P)
+    # selection + one batched 3x3 eigendecomposition)
+    if point_frames is not None:
+        # precomputed deterministic frames (e.g. SDF curvature directions)
+        seed_frames = point_frames[seed_idx]           # (S, 3, 3)
+        seed_m_ok = jnp.linalg.norm(seed_frames[:, 0], axis=-1) > 0.5
+    else:
+        # r-ball normal covariance -> local frame (grasp_sampler.py:1467-1500)
+        seeds_xyz = points[seed_idx]                   # (S, 3)
+        d2 = (jnp.sum(seeds_xyz * seeds_xyz, axis=1)[:, None]
+              - 2.0 * jnp.matmul(seeds_xyz, points.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+              + jnp.sum(points * points, axis=1)[None, :])   # (S, P)
+        knn = min(max_neighbors, p_total)
+        # cap the neighbor count like the KD-tree's max_nn=100, then the
+        # r-ball filter
+        nd2, nbr = jax.lax.top_k(-d2, knn)             # (S, knn)
+        w = ((-nd2 <= r_ball * r_ball) & (-nd2 > 1e-12)).astype(dtype)
+        nn = normals[nbr]                              # (S, knn, 3)
+        nn = nn / jnp.maximum(
+            jnp.linalg.norm(nn, axis=-1, keepdims=True), 1e-12)
+        m = jnp.einsum("sp,spi,spj->sij", w, nn, nn)
+        seed_m_ok = jnp.sum(jnp.abs(m), axis=(1, 2)) > 0
+
+        eigval, eigvec = jnp.linalg.eigh(m)            # (S, 3, 3)
+        minor = eigvec[..., 0]
+        normal = eigvec[..., 2]
+        minor = minor / jnp.maximum(
+            jnp.linalg.norm(minor, axis=-1, keepdims=True), 1e-12)
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+        major = jnp.cross(minor, normal)
+        major = major / jnp.maximum(
+            jnp.linalg.norm(major, axis=-1, keepdims=True), 1e-12)
+        # orient with the camera-consistent normal (grasp_sampler.py:1502-1506)
+        flip = jnp.sum(normals[seed_idx] * normal, axis=-1) < 0
+        normal = jnp.where(flip[:, None], -normal, normal)
+        minor = jnp.where(flip[:, None], -minor, minor)
+        seed_frames = jnp.stack([normal, major, minor], axis=1)  # (S, 3, 3)
+
+    def one_seed(si, frame, m_ok):
         seed = points[si]
-        seed_normal = normals[si]
-
-        if point_frames is not None:
-            # precomputed deterministic frame (e.g. SDF curvature directions)
-            new_normal, major_pc, minor_pc = (point_frames[si, 0],
-                                              point_frames[si, 1],
-                                              point_frames[si, 2])
-            m_ok = jnp.linalg.norm(new_normal) > 0.5
-        else:
-            # r-ball normal covariance -> local frame
-            # (grasp_sampler.py:1467-1500)
-            d2 = jnp.sum((points - seed) ** 2, axis=1)
-            in_ball = (d2 <= r_ball * r_ball) & (d2 > 0)
-            # cap the neighbor count like the KD-tree's max_nn=100: keep the
-            # max_neighbors nearest by masking the rest
-            order = jnp.argsort(jnp.where(in_ball, d2, jnp.inf))
-            neighbor_mask = jnp.zeros((p_total,), bool).at[
-                order[:max_neighbors]].set(True) & in_ball
-            nn = normals / jnp.maximum(
-                jnp.linalg.norm(normals, axis=1, keepdims=True), 1e-12)
-            m = jnp.einsum("p,pi,pj->ij", neighbor_mask.astype(dtype), nn, nn)
-            m_ok = jnp.sum(jnp.abs(m)) > 0
-
-            eigval, eigvec = jnp.linalg.eigh(m)
-            minor_pc = eigvec[:, 0] / jnp.linalg.norm(eigvec[:, 0])
-            new_normal = eigvec[:, 2] / jnp.linalg.norm(eigvec[:, 2])
-            major_pc = jnp.cross(minor_pc, new_normal)
-            major_pc = major_pc / jnp.maximum(
-                jnp.linalg.norm(major_pc), 1e-12)
-            # orient with the camera-consistent normal
-            # (grasp_sampler.py:1502-1506)
-            flip = jnp.dot(seed_normal, new_normal) < 0
-            new_normal = jnp.where(flip, -new_normal, new_normal)
-            minor_pc = jnp.where(flip, -minor_pc, minor_pc)
+        new_normal, major_pc, minor_pc = frame[0], frame[1], frame[2]
 
         def one_theta(theta):
             rot = axis_rotation(minor_pc, theta)
             t_major = rot @ major_pc
             t_normal = rot @ new_normal
+            # the cloud in this theta's grasp frame, about the seed — the
+            # ONE rotation; every bc below is a frame-coord shift of it
+            rot_rows = jnp.stack([t_normal, t_major, minor_pc])
+            pf0 = (points - seed) @ rot_rows.T          # (P, 3)
+            bite = jnp.asarray(gripper.init_bite, dtype)
 
             def one_dy(dy):
-                bc = seed + t_major * dy - gripper.init_bite * t_normal
-                c = counts_at(bc, t_normal, t_major, minor_pc)
-                ok = (c[0] > 0) & (c[1] == 0) & (c[2] == 0) & (c[3] == 0)
-                return bc, ok
+                c = counts_shifted(pf0, -bite, dy)
+                return (c[0] > 0) & (c[1] == 0) & (c[2] == 0) & (c[3] == 0)
 
-            bcs, oks = jax.vmap(one_dy)(dys)           # (n_dy, 3), (n_dy,)
+            oks = jax.vmap(one_dy)(dys)                # (n_dy,)
             n_ok = jnp.sum(oks)
             # middle valid dy (grasp_sampler.py:1561-1563)
             target = jnp.ceil(n_ok / 2.0).astype(jnp.int32)
             cum = jnp.cumsum(oks.astype(jnp.int32))
             pick = jnp.argmax((cum == target) & oks)
-            bc = bcs[pick]
+            dy_pick = dys[pick]
+            bc = seed + t_major * dy_pick - bite * t_normal
 
             # downward-grasp guard (grasp_sampler.py:1564-1569)
             finger_top = bc + t_normal * gripper.hand_depth
@@ -357,16 +390,16 @@ def gpg_sample_candidates(
             steps = jnp.arange(approach_steps, dtype=dtype) * approach_step
 
             def collide_at(s):
-                c = counts_at(bc + t_normal * s, t_normal, t_major, minor_pc)
+                c = counts_shifted(pf0, -bite + s, dy_pick)
                 return (c[1] > 0) | (c[2] > 0) | (c[3] > 0)
 
             collides = jax.vmap(collide_at)(steps)     # (approach_steps,)
             hit = jnp.any(collides)
             s_hit = steps[jnp.argmax(collides)]
-            bc2 = bc + t_normal * s_hit - t_normal * approach_step * 3.0
+            x_bc2 = -bite + s_hit - approach_step * 3.0
+            bc2 = seed + t_major * dy_pick + x_bc2 * t_normal
 
             # table clearance (grasp_sampler.py:1588-1605); world hand points
-            rot_rows = jnp.stack([t_normal, t_major, minor_pc])
             hp_world = bc2 + hand_pts_local @ rot_rows
             min_i = jnp.argmin(hp_world[:, 2])
             min_pos = hp_world[min_i]
@@ -377,9 +410,10 @@ def gpg_sample_candidates(
             dis_go_back = jnp.linalg.norm(min_pos - p_table) + safety_dis_above_table
             need_adjust = min_pos[2] < safety_dis_above_table
             bc_mod = jnp.where(need_adjust, bc2 - t_normal * dis_go_back, bc2)
+            x_mod = x_bc2 - jnp.where(need_adjust, dis_go_back, 0.0)
 
             # final checks (grasp_sampler.py:1607-1614)
-            c_final = counts_at(bc_mod, t_normal, t_major, minor_pc)
+            c_final = counts_shifted(pf0, x_mod, dy_pick)
             final_ok = ((c_final[0] > min_open_points)
                         & (c_final[1] == 0) & (c_final[2] == 0)
                         & (c_final[3] == 0))
@@ -389,7 +423,20 @@ def gpg_sample_candidates(
 
         return jax.vmap(one_theta)(thetas)  # (n_theta, 5, 3), (n_theta,)
 
-    frames, valid = jax.vmap(one_seed)(seed_idx)
+    # chunked over seeds: peak HBM = seed_chunk * n_theta * P * 3 floats
+    chunk = max(1, min(seed_chunk, num_seeds))
+    pad_seeds = (-num_seeds) % chunk
+
+    def padc(a):
+        return jnp.concatenate([a, a[:pad_seeds]]) if pad_seeds else a
+
+    frames, valid = jax.lax.map(
+        lambda args: jax.vmap(one_seed)(*args),
+        (padc(seed_idx).reshape(-1, chunk),
+         padc(seed_frames).reshape(-1, chunk, 3, 3),
+         padc(seed_m_ok).reshape(-1, chunk)))
+    frames = frames.reshape(-1, n_theta, 5, 3)[:num_seeds]
+    valid = valid.reshape(-1, n_theta)[:num_seeds]
     valid = valid & above[seed_idx][:, None]  # discard pad seeds (none above)
     return GpgCandidates(frames.reshape(-1, 5, 3), valid.reshape(-1))
 

@@ -57,6 +57,11 @@ class DetectorConfig:
     minimal_points_send_to_point_net: int = 20
     repeat: int = 1                     # vote repeats (:429)
     select_point_above_table: float = 0.010
+    # pad the downsampled cloud up to a multiple of this so the jitted
+    # pipeline compiles once per size bucket instead of once per frame
+    # (the voxel count is different every frame; an unpadded P recompiles
+    # normals + sampler + scorer each time, ~30-70 s on a cold chip)
+    cloud_pad_to: int = 8192
 
 
 class GraspDetector:
@@ -83,15 +88,25 @@ class GraspDetector:
         centers, mask = voxel_downsample(jnp.asarray(points), n_grid=cfg.n_voxel)
         pts = np.asarray(centers)[np.asarray(mask)]
 
+        # pad to a size bucket: dummy points far BELOW the table are never
+        # seeds (above-table filter), never in a closing region, and never
+        # the neighbor of a real point — one compile per bucket, not per
+        # frame
+        n_real = len(pts)
+        bucket = max(-(-max(n_real, 1) // cfg.cloud_pad_to), 1) * cfg.cloud_pad_to
+        pts_pad = np.full((bucket, 3), -1e6, np.float32)
+        pts_pad[:n_real] = pts
+        pts_dev = jnp.asarray(pts_pad)
+
         # surface normals, camera-consistent (kinect2grasp.py:131-144)
         normals = estimate_normals_knn(
-            jnp.asarray(pts), jnp.asarray(cam_pos, jnp.float32), k=cfg.normal_k)
+            pts_dev, jnp.asarray(cam_pos, jnp.float32), k=cfg.normal_k)
 
         # GPG candidates (kinect2grasp.py:154-173 -> grasp_sampler.py:1389+)
         key = jax.random.PRNGKey(seed)
         k_gpg, k_score = jax.random.split(key)
         cand = gpg_sample_candidates(
-            jnp.asarray(pts), normals, k_gpg, self.gripper,
+            pts_dev, normals, k_gpg, self.gripper,
             num_seeds=cfg.max_num_samples,
             min_points_above_table=cfg.select_point_above_table)
         valid = np.asarray(cand.valid)
@@ -104,9 +119,10 @@ class GraspDetector:
                     "all_scores": empty, "counts": np.zeros((0,), np.int32),
                     "points": pts}
 
-        # crop + batched scoring + vote + rank (kinect2grasp.py:443-514)
+        # crop + batched scoring + vote + rank (kinect2grasp.py:443-514);
+        # the padded cloud keeps the scorer's jit shape per-bucket stable
         result = self.scorer.score_candidates(
-            pts, frames, hand_depth=self.gripper.hand_depth,
+            pts_pad, frames, hand_depth=self.gripper.hand_depth,
             width=self.gripper.open_width, seed=seed + 1)
         order = result["good_indices"]
         return {
