@@ -44,6 +44,29 @@ def voxel_downsample(points, n_grid: int = 500):
     return jnp.where(mask[:, None], centers, 0.0), mask
 
 
+@functools.partial(jax.jit, static_argnames=("n_grid",))
+def voxel_downsample_packed(points, n_grid: int = 500, pad_value=-1e6):
+    """voxel_downsample with DEVICE-SIDE compaction: kept voxel centers
+    packed to the front (original order), the tail filled with ``pad_value``.
+
+    Returns (packed (P, 3), count). Callers that only need the compacted
+    cloud on device fetch the 4-byte count instead of pulling the full
+    (centers, mask) pair to the host — on a tunneled TPU attachment that
+    megabyte-scale fetch costs more than the downsampling itself.
+    """
+    centers, mask = voxel_downsample(points, n_grid=n_grid)
+    p = points.shape[0]
+    if p == 0:
+        return centers, jnp.zeros((), jnp.int32)
+    pos = jnp.arange(p) + jnp.where(mask, 0, p)  # kept rows sort first
+    packed = jnp.take(centers, jnp.argsort(pos), axis=0)
+    count = jnp.sum(mask).astype(jnp.int32)
+    keep = jnp.arange(p) < count
+    packed = jnp.where(keep[:, None], packed,
+                       jnp.asarray(pad_value, points.dtype))
+    return packed, count
+
+
 def smallest_eigvec_sym3x3(a):
     """Closed-form least-eigenvalue eigenvector of batched symmetric 3x3
     matrices (Eberly's trigonometric eigensolver) — replaces

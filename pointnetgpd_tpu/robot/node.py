@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from ..grasping.gripper import Gripper
 from ..grasping.samplers import gpg_sample_candidates
 from ..inference.scorer import GraspScorer
-from ..ops.cloud import estimate_normals_knn, voxel_downsample
+from ..ops.cloud import estimate_normals_knn, voxel_downsample  # noqa: F401 (re-export)
+from ..ops.cloud import voxel_downsample_packed
 
 
 def remove_table_points(points: np.ndarray, z_thresh: float = 0.005,
@@ -80,23 +81,30 @@ class GraspDetector:
                       seed: int = 0):
         """One frame: returns dict with candidates, scores, and the ranked
         good grasps as (5, 3) frames [bottom_center, approach, binormal,
-        minor, bottom_center_modified]."""
+        minor, bottom_center_modified]. ``points`` in the result is the
+        downsampled cloud as a DEVICE array (fetch with np.asarray if
+        needed — it is deliberately not pulled through the relay here)."""
         cfg = self.cfg
         points = np.asarray(points, np.float32)
 
-        # voxel downsample (kinect2grasp.py:102-127)
-        centers, mask = voxel_downsample(jnp.asarray(points), n_grid=cfg.n_voxel)
-        pts = np.asarray(centers)[np.asarray(mask)]
+        # voxel downsample, compacted ON DEVICE (kinect2grasp.py:102-127);
+        # only the 4-byte count crosses the relay, not the cloud
+        packed, count = voxel_downsample_packed(
+            jnp.asarray(points), n_grid=cfg.n_voxel)
+        n_real = int(count)
 
         # pad to a size bucket: dummy points far BELOW the table are never
         # seeds (above-table filter), never in a closing region, and never
         # the neighbor of a real point — one compile per bucket, not per
-        # frame
-        n_real = len(pts)
+        # frame. packed's tail is already the -1e6 sentinel.
         bucket = max(-(-max(n_real, 1) // cfg.cloud_pad_to), 1) * cfg.cloud_pad_to
-        pts_pad = np.full((bucket, 3), -1e6, np.float32)
-        pts_pad[:n_real] = pts
-        pts_dev = jnp.asarray(pts_pad)
+        if bucket <= packed.shape[0]:
+            pts_dev = packed[:bucket]
+        else:
+            pts_dev = jnp.concatenate([
+                packed, jnp.full((bucket - packed.shape[0], 3), -1e6,
+                                 packed.dtype)])
+        pts = pts_dev[:n_real]  # device view of the real cloud
 
         # surface normals, camera-consistent (kinect2grasp.py:131-144)
         normals = estimate_normals_knn(
@@ -122,7 +130,7 @@ class GraspDetector:
         # crop + batched scoring + vote + rank (kinect2grasp.py:443-514);
         # the padded cloud keeps the scorer's jit shape per-bucket stable
         result = self.scorer.score_candidates(
-            pts_pad, frames, hand_depth=self.gripper.hand_depth,
+            pts_dev, frames, hand_depth=self.gripper.hand_depth,
             width=self.gripper.open_width, seed=seed + 1)
         order = result["good_indices"]
         return {
