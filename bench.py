@@ -226,6 +226,39 @@ def bench_voxelizer_extra():
     return dt_pallas * 1e3, dt_xla / dt_pallas
 
 
+def bench_frame_pipeline():
+    """Online frame pipeline (kinect2grasp replacement): downsample +
+    normals + GPG sampling + crop/score on a realistic tabletop scene
+    (~16k downsampled points, 150 seeds). Returns ms/frame (warm)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointnetgpd_tpu.inference.scorer import GraspScorer
+    from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+    from pointnetgpd_tpu.robot.node import DetectorConfig, GraspDetector
+
+    params, state = init_pointnet_cls(jax.random.PRNGKey(0), input_chann=3,
+                                      k=3)
+    scorer = GraspScorer(params=params, state=state, k=3, num_points=500)
+    det = GraspDetector(scorer, config=DetectorConfig(cloud_pad_to=4096))
+
+    rs = np.random.RandomState(0)
+    n = 6000
+    top = rs.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+    front = rs.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
+    side = rs.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+    pts = np.concatenate([top, front, side]).astype(np.float32)
+    pts[:, :2] -= 0.03
+    cam = np.array([0.5, 0.5, 1.0], np.float32)
+
+    det.process_frame(pts, cam, seed=0)  # compile
+    t0 = time.perf_counter()
+    n_it = 5
+    for i in range(n_it):
+        det.process_frame(pts, cam, seed=i)  # host-blocking (fetches inside)
+    return (time.perf_counter() - t0) / n_it * 1e3
+
+
 def bench_reference_torch():
     """Reference path: host numpy crop + per-candidate batch-1 torch calls."""
     if not os.path.isdir(REF_ROOT):
@@ -274,6 +307,10 @@ def main():
         vox = bench_voxelizer_extra()
     except Exception:
         vox = None
+    try:
+        frame_ms = bench_frame_pipeline()
+    except Exception:
+        frame_ms = None
     baseline = bench_reference_torch()
     result = {
         "metric": "grasp_candidates_scored_per_sec_750pt",
@@ -289,6 +326,7 @@ def main():
             "reference_torch_cpu_candidates_per_sec": round(baseline, 1) if baseline else None,
             "voxelizer_pallas_ms_100cube_8192tri": round(vox[0], 1) if vox else None,
             "voxelizer_pallas_speedup_vs_xla": round(vox[1], 2) if vox else None,
+            "online_frame_ms_16k_cloud_150_seeds": round(frame_ms, 1) if frame_ms else None,
         },
     }
     print(json.dumps(result))

@@ -300,17 +300,12 @@ def gpg_sample_candidates(
                         [-axis[1], axis[0], 0.0]], dtype)
         return c * jnp.eye(3, dtype=dtype) + s * kx + (1 - c) * jnp.outer(axis, axis)
 
-    def counts_shifted(pf0, sx, sy):
-        """Box counts [open, bottom, left, right] for the grasp frame moved
-        by (sx, sy, 0) IN FRAME COORDS: pf0 is the cloud in the unshifted
-        frame, so moving bottom_center by sx*approach + sy*major shifts the
-        box bounds instead of re-rotating the cloud. Comparisons fuse into
-        the count reduction — no (.., P, 3) batch materializes."""
-        shift = jnp.stack([sx, sy, jnp.zeros_like(sx)])
-        inside = jnp.all((pf0[None, :, :] > boxes[:, 0][:, None, :] + shift)
-                         & (pf0[None, :, :] < boxes[:, 1][:, None, :] + shift),
-                         axis=-1)                       # (4, P)
-        return jnp.sum(inside, axis=1)                  # (4,)
+    # Box-count scheme: moving bottom_center by sx*approach + sy*major IS a
+    # (sx, sy, 0) coordinate shift of the cloud-in-frame array pf0, so every
+    # dy offset / approach step / final check is a shifted-bounds membership
+    # test on ONE rotation of the cloud (no (.., P, 3) batch materializes);
+    # each scan varies only one axis, so the other two axes' masks are
+    # computed once per scan (xmask/ymask/zm inside one_theta).
 
     # per-seed local frames, ONE batched pass for all seeds (doing the
     # neighbor search inside the per-seed loop serializes 150 top_k calls
@@ -368,8 +363,25 @@ def gpg_sample_candidates(
             pf0 = (points - seed) @ rot_rows.T          # (P, 3)
             bite = jnp.asarray(gripper.init_bite, dtype)
 
+            # factored box tests: the dy scan shifts bounds only along y and
+            # the approach scan only along x, so the other axes' membership
+            # masks are computed once per scan instead of per shift
+            px, py, pz = pf0[:, 0], pf0[:, 1], pf0[:, 2]
+            zm = ((pz[None, :] > boxes[:, 0, 2:3])
+                  & (pz[None, :] < boxes[:, 1, 2:3]))   # (4, P)
+
+            def xmask(sx):
+                return ((px[None, :] > boxes[:, 0, 0:1] + sx)
+                        & (px[None, :] < boxes[:, 1, 0:1] + sx))
+
+            def ymask(sy):
+                return ((py[None, :] > boxes[:, 0, 1:2] + sy)
+                        & (py[None, :] < boxes[:, 1, 1:2] + sy))
+
+            base_dy = xmask(-bite) & zm                 # (4, P)
+
             def one_dy(dy):
-                c = counts_shifted(pf0, -bite, dy)
+                c = jnp.sum(base_dy & ymask(dy), axis=1)
                 return (c[0] > 0) & (c[1] == 0) & (c[2] == 0) & (c[3] == 0)
 
             oks = jax.vmap(one_dy)(dys)                # (n_dy,)
@@ -388,9 +400,10 @@ def gpg_sample_candidates(
 
             # approach along +normal until collision (grasp_sampler.py:1574-1585)
             steps = jnp.arange(approach_steps, dtype=dtype) * approach_step
+            base_ap = ymask(dy_pick) & zm               # (4, P)
 
             def collide_at(s):
-                c = counts_shifted(pf0, -bite + s, dy_pick)
+                c = jnp.sum(base_ap & xmask(-bite + s), axis=1)
                 return (c[1] > 0) | (c[2] > 0) | (c[3] > 0)
 
             collides = jax.vmap(collide_at)(steps)     # (approach_steps,)
@@ -404,16 +417,17 @@ def gpg_sample_candidates(
             min_i = jnp.argmin(hp_world[:, 2])
             min_pos = hp_world[min_i]
             nz_safe = jnp.where(jnp.abs(t_normal[2]) < 1e-9, 1e-9, t_normal[2])
-            px = -min_pos[2] * t_normal[0] / nz_safe + min_pos[0]
-            py = -min_pos[2] * t_normal[1] / nz_safe + min_pos[1]
-            p_table = jnp.stack([px, py, jnp.zeros((), dtype)])
+            # (tx/ty, not px/py: those name the xmask/ymask closure inputs)
+            tx = -min_pos[2] * t_normal[0] / nz_safe + min_pos[0]
+            ty = -min_pos[2] * t_normal[1] / nz_safe + min_pos[1]
+            p_table = jnp.stack([tx, ty, jnp.zeros((), dtype)])
             dis_go_back = jnp.linalg.norm(min_pos - p_table) + safety_dis_above_table
             need_adjust = min_pos[2] < safety_dis_above_table
             bc_mod = jnp.where(need_adjust, bc2 - t_normal * dis_go_back, bc2)
             x_mod = x_bc2 - jnp.where(need_adjust, dis_go_back, 0.0)
 
             # final checks (grasp_sampler.py:1607-1614)
-            c_final = counts_shifted(pf0, x_mod, dy_pick)
+            c_final = jnp.sum(base_ap & xmask(x_mod), axis=1)
             final_ok = ((c_final[0] > min_open_points)
                         & (c_final[1] == 0) & (c_final[2] == 0)
                         & (c_final[3] == 0))

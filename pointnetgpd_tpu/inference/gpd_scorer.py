@@ -84,7 +84,7 @@ class GPDScorer:
     knn_k: int = 30
 
     def score_candidates(self, pc, candidates, hand_depth, width,
-                         seed: int = 0):
+                         seed: int = 0, valid=None):
         cand = np.asarray(candidates, dtype=np.float32).reshape(-1, 5, 3)
         g = cand.shape[0]
         if g == 0:
@@ -101,7 +101,7 @@ class GPDScorer:
         cand_p[g:, 2] = [0, 1, 0]
         cand_p[g:, 3] = [0, 0, 1]
         valid_in = np.zeros((g_pad,), bool)
-        valid_in[:g] = True
+        valid_in[:g] = True if valid is None else np.asarray(valid, bool)
 
         out = score_candidates_gpd(
             self.params, jnp.asarray(pc, jnp.float32), jnp.asarray(cand_p),

@@ -217,7 +217,8 @@ class GraspScorer:
         return pred[:g], prob[:g], votes[:g]
 
     # ------------------------------------------------------------------
-    def score_candidates(self, pc, candidates, hand_depth, width, seed: int = 0):
+    def score_candidates(self, pc, candidates, hand_depth, width,
+                         seed: int = 0, valid=None):
         """End-to-end: raw scene cloud + GPG candidates -> ranked good grasps.
 
         Args:
@@ -226,11 +227,21 @@ class GraspScorer:
               binormal, minor_pc, bottom_center_modified] — the sampler output
               format (grasp_sampler.py:1616-1618).
           hand_depth, width: gripper closing-region geometry.
+          valid: optional (G,) bool marking which candidate rows are real —
+              lets callers pass a FIXED-SIZE candidate buffer (stable jit
+              shapes) with dead rows masked out.
 
         Returns dict with pred/prob/score per candidate plus the ranked
         order of "good" candidates (kinect2grasp.py:500-514 semantics).
         """
-        cand = np.asarray(candidates, dtype=np.float32).reshape(-1, 5, 3)
+        on_device = isinstance(candidates, jax.Array)
+        if on_device:
+            # device fast path: the online pipeline's candidates never leave
+            # the chip (fetching 2850 GPG frames through a tunneled relay
+            # costs more than scoring them)
+            cand = candidates.reshape(-1, 5, 3).astype(jnp.float32)
+        else:
+            cand = np.asarray(candidates, dtype=np.float32).reshape(-1, 5, 3)
         if cand.shape[0] == 0:  # no candidates this frame: empty result
             return {
                 "pred": np.zeros((0,), np.int32),
@@ -242,14 +253,22 @@ class GraspScorer:
             }
         g = cand.shape[0]
         g_pad = max(_round_up(g, self.pad_to), self.pad_to)
-        cand_p = np.zeros((g_pad, 5, 3), dtype=np.float32)
-        cand_p[:g] = cand
         # pad with unit frames to keep normalize() well-defined
-        cand_p[g:, 1] = [1, 0, 0]
-        cand_p[g:, 2] = [0, 1, 0]
-        cand_p[g:, 3] = [0, 0, 1]
-        valid_in = np.zeros((g_pad,), bool)
-        valid_in[:g] = True
+        pad_frame = np.zeros((g_pad - g, 5, 3), np.float32)
+        pad_frame[:, 1] = [1, 0, 0]
+        pad_frame[:, 2] = [0, 1, 0]
+        pad_frame[:, 3] = [0, 0, 1]
+        if on_device:
+            cand_p = jnp.concatenate([cand, jnp.asarray(pad_frame)]) \
+                if g_pad > g else cand
+            valid_in = jnp.arange(g_pad) < g
+            if valid is not None:
+                valid_in = valid_in & jnp.pad(jnp.asarray(valid, bool),
+                                              (0, g_pad - g))
+        else:
+            cand_p = np.concatenate([cand, pad_frame])
+            valid_in = np.zeros((g_pad,), bool)
+            valid_in[:g] = True if valid is None else np.asarray(valid, bool)
 
         (pc_d,) = self._replicate(jnp.asarray(pc, dtype=jnp.float32))
         cand_d, valid_d = self._shard_batch(jnp.asarray(cand_p),

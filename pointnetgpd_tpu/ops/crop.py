@@ -138,14 +138,22 @@ def crop_closing_region(
 #   - the (G, num_out) gather out of the per-candidate (G, P, 3) transformed
 #     cloud (~4 ms, plus materializing 123 MB of pc_t).
 # _crop_batch replaces them with an exact two-stage selection:
-#   1. shuffle the scene once (depth-camera clouds are spatially ordered, so
-#      in-region points cluster by index; the shuffle spreads them uniformly
-#      over segments),
+#   1. assign point i to segment i % SEG (a strided interleave, one cheap
+#      transpose — depth-camera clouds are spatially ordered, so in-region
+#      points cluster into contiguous index runs, and the stride spreads
+#      every run evenly over all segments; a random shuffle would too, but
+#      costs a 20k argsort + gather per cloud, which doubled the fused
+#      train step's time),
 #   2. per-segment top-L over (G, SEG, P/SEG) — cheap because L << num_out,
 #   3. exact top-k over the (G, SEG*L) survivors.
 # This is exact whenever no segment holds more than L of the top-num_out
-# masked keys; after the shuffle that event has probability ~1e-12 (Poisson
-# tail: num_out=1000, SEG=16, L=128 -> mean 62.5/segment, 128 = 8 sigma).
+# masked keys. The keys are iid uniform, so the top-num_out spread over
+# segments in proportion to each segment's masked count; with run-structured
+# masks the stride balances those counts, and the per-segment share is
+# Poisson(num_out/SEG) — L=128 is 8+ sigma above it (~1e-12 tail). The one
+# pattern that breaks the balance is a mask aligned to the stride itself
+# (in-region points at exactly every SEG-th index) — not a pattern scan- or
+# randomly-ordered clouds produce.
 # Points are gathered from the SHARED (P, 4)-padded cloud and transformed
 # into each grasp frame only after selection (num_out, not P, per grasp).
 
@@ -189,15 +197,9 @@ def _crop_batch(pc, centers, rot_rows, box_lo, box_hi, num_out: int, key):
     """
     g = centers.shape[0]
     p_total = pc.shape[0]
-    k0, k1, k2 = jax.random.split(key, 3)
+    k1, k2 = jax.random.split(key)
 
-    if p_total > _DIRECT_TOPK_MAX:
-        perm0 = jax.random.permutation(k0, p_total)
-        pcs = jnp.take(pc, perm0, axis=0)
-    else:
-        pcs = pc
-
-    frame = _to_frames(pcs[None], centers, rot_rows)          # (G, P, 3)
+    frame = _to_frames(pc[None], centers, rot_rows)           # (G, P, 3)
     mask = jnp.all((frame > box_lo[:, None]) & (frame < box_hi[:, None]),
                    axis=-1)                                   # (G, P)
     count = jnp.sum(mask, axis=-1)                            # (G,)
@@ -214,10 +216,12 @@ def _crop_batch(pc, centers, rot_rows, box_lo, box_hi, num_out: int, key):
         zp = jnp.pad(z, ((0, 0), (0, pad)), constant_values=-jnp.inf) \
             if pad else z
         seg_len = zp.shape[1] // seg
+        # strided interleave: segment s = points s, s+SEG, s+2*SEG, ...
+        zp = zp.reshape(g, seg_len, seg).swapaxes(1, 2)       # (G, SEG, len)
         # L: 8+ sigma above the expected per-segment share of the top-kk
         lim = min(max(128, 2 * (-(-kk // seg))), seg_len)
-        zs, iseg = jax.lax.top_k(zp.reshape(g, seg, seg_len), lim)
-        gidx = iseg + (jnp.arange(seg) * seg_len)[None, :, None]
+        zs, iseg = jax.lax.top_k(zp, lim)                     # (G, SEG, L)
+        gidx = iseg * seg + jnp.arange(seg)[None, :, None]    # original index
         _, j = jax.lax.top_k(zs.reshape(g, seg * lim), kk)
         perm = jnp.take_along_axis(gidx.reshape(g, seg * lim), j, axis=1)
         perm = jnp.minimum(perm, p_total - 1)  # -inf pad slots (never chosen)
@@ -234,7 +238,7 @@ def _crop_batch(pc, centers, rot_rows, box_lo, box_hi, num_out: int, key):
 
     # gather from the shared cloud (padded to 4 columns: rows gather ~1.5x
     # faster than (P, 3)), then transform only the selected points
-    pc4 = jnp.pad(pcs, ((0, 0), (0, 1)))
+    pc4 = jnp.pad(pc, ((0, 0), (0, 1)))
     sel = jnp.take(pc4, idx, axis=0)[..., :3]                 # (G, num_out, 3)
     return _to_frames(sel, centers, rot_rows), count
 

@@ -117,9 +117,16 @@ class GraspDetector:
             pts_dev, normals, k_gpg, self.gripper,
             num_seeds=cfg.max_num_samples,
             min_points_above_table=cfg.select_point_above_table)
-        valid = np.asarray(cand.valid)
-        frames = np.asarray(cand.frames)[valid][: cfg.num_grasps]
-        if len(frames) == 0:
+        # compact valid candidates ON DEVICE (stable: original order) into a
+        # FIXED num_grasps buffer (varying lengths would recompile the jitted
+        # scorer every frame) with a validity mask; fetching all ~2850 GPG
+        # frames through the relay costs more than scoring them
+        n_valid = int(jnp.sum(cand.valid))          # 4-byte fetch
+        order0 = jnp.argsort(~cand.valid, stable=True)
+        frames = jnp.take(cand.frames, order0[:cfg.num_grasps], axis=0)
+        frame_valid = jnp.arange(cfg.num_grasps) < n_valid
+        keep = min(cfg.num_grasps, n_valid)
+        if keep == 0:
             empty = np.zeros((0,), np.float32)
             return {"grasps": np.zeros((0, 5, 3), np.float32),
                     "scores": empty, "pred": np.zeros((0,), np.int64),
@@ -131,15 +138,17 @@ class GraspDetector:
         # the padded cloud keeps the scorer's jit shape per-bucket stable
         result = self.scorer.score_candidates(
             pts_dev, frames, hand_depth=self.gripper.hand_depth,
-            width=self.gripper.open_width, seed=seed + 1)
+            width=self.gripper.open_width, seed=seed + 1,
+            valid=frame_valid)
         order = result["good_indices"]
+        frames_np = np.asarray(frames)[:keep]  # <= num_grasps: tiny fetch
         return {
-            "grasps": frames[order],
+            "grasps": frames_np[order[order < keep]],
             "scores": result["score"][order],
-            "pred": result["pred"],
-            "all_frames": frames,
-            "all_scores": result["score"],
-            "counts": result["counts"],
+            "pred": result["pred"][:keep],
+            "all_frames": frames_np,
+            "all_scores": result["score"][:keep],
+            "counts": result["counts"][:keep],
             "points": pts,
         }
 

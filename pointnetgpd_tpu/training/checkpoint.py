@@ -45,11 +45,19 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
-    """Restore into the structure of ``template`` (shapes/dtypes preserved)."""
+    """Restore into the structure of ``template`` (shapes/dtypes preserved).
+
+    Shardings come from the TEMPLATE's arrays (the current topology), not
+    from the sharding file orbax wrote at save time — restoring a checkpoint
+    saved on a different mesh layout is therefore safe (and the
+    topology-unsafe-restore warning is gone)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path), item=template._asdict())
+    item = template._asdict()
+    restore_args = ocp.checkpoint_utils.construct_restore_args(item)
+    restored = ckptr.restore(os.path.abspath(path), item=item,
+                             restore_args=restore_args)
     return TrainState(**restored)
 
 

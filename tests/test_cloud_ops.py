@@ -43,6 +43,32 @@ class TestVoxelDownsample:
         assert (d <= step / 2 + 1e-6).all()
 
 
+class TestVoxelDownsamplePacked:
+    def test_packed_matches_masked(self):
+        from pointnetgpd_tpu.ops.cloud import (
+            voxel_downsample,
+            voxel_downsample_packed,
+        )
+
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray((rng.rand(3000, 3) * 0.2).astype(np.float32))
+        centers, mask = voxel_downsample(pts, n_grid=24)
+        packed, count = voxel_downsample_packed(pts, n_grid=24)
+        want = np.asarray(centers)[np.asarray(mask)]
+        assert int(count) == len(want)
+        got = np.asarray(packed)[: int(count)]
+        # same voxel centers, original relative order preserved
+        np.testing.assert_allclose(got, want, atol=0)
+        # sentinel tail
+        assert (np.asarray(packed)[int(count):] == -1e6).all()
+
+    def test_empty(self):
+        from pointnetgpd_tpu.ops.cloud import voxel_downsample_packed
+
+        packed, count = voxel_downsample_packed(jnp.zeros((0, 3)))
+        assert packed.shape == (0, 3) and int(count) == 0
+
+
 class TestSmallestEigvec3x3:
     def test_matches_eigh_on_random_covariances(self):
         from pointnetgpd_tpu.ops.cloud import smallest_eigvec_sym3x3
