@@ -138,12 +138,14 @@ def crop_closing_region(
 #   - the (G, num_out) gather out of the per-candidate (G, P, 3) transformed
 #     cloud (~4 ms, plus materializing 123 MB of pc_t).
 # _crop_batch replaces them with an exact two-stage selection:
-#   1. assign point i to segment i % SEG (a strided interleave, one cheap
-#      transpose — depth-camera clouds are spatially ordered, so in-region
-#      points cluster into contiguous index runs, and the stride spreads
-#      every run evenly over all segments; a random shuffle would too, but
-#      costs a 20k argsort + gather per cloud, which doubled the fused
-#      train step's time),
+#   1. assign point i to segment i % SEG (a strided interleave applied ONCE
+#      to the (P, 4) cloud via a constant-index gather — depth-camera clouds
+#      are spatially ordered, so in-region points cluster into contiguous
+#      index runs, and the stride spreads every run evenly over all
+#      segments; a random shuffle would too, but costs a 20k argsort +
+#      gather per cloud, which doubled the fused train step's time, and
+#      permuting the (G, P) key matrix instead costs a 41 MB minor-dim
+#      transpose per scene, measured +15% on the scene program),
 #   2. per-segment top-L over (G, SEG, P/SEG) — cheap because L << num_out,
 #   3. exact top-k over the (G, SEG*L) survivors.
 # This is exact whenever no segment holds more than L of the top-num_out
@@ -195,36 +197,54 @@ def _crop_batch(pc, centers, rot_rows, box_lo, box_hi, num_out: int, key):
     [approach, binormal, minor]; box_lo/box_hi: (G, 3) per-grasp strict box.
     Returns (points (G, num_out, 3) in grasp frames, counts (G,)).
     """
+    import numpy as np
+
     g = centers.shape[0]
     p_total = pc.shape[0]
     k1, k2 = jax.random.split(key)
 
-    frame = _to_frames(pc[None], centers, rot_rows)           # (G, P, 3)
+    # pad to 4 columns up front: rows gather ~1.5x faster than (P, 3)
+    pc4 = jnp.pad(pc, ((0, 0), (0, 1)))
+
+    two_stage = p_total > _DIRECT_TOPK_MAX
+    if two_stage:
+        # strided interleave of the CLOUD (constant-index gather, once):
+        # segment s = points s, s+SEG, s+2*SEG, ... as a contiguous chunk,
+        # so the per-segment top_k below needs no (G, P) transpose
+        seg = _SEG
+        seg_len = -(-p_total // seg)
+        perm_np = np.full((seg, seg_len), p_total, np.int32)
+        for s in range(seg):
+            run = np.arange(s, p_total, seg, dtype=np.int32)
+            perm_np[s, : len(run)] = run
+        slot_real = jnp.asarray((perm_np < p_total).reshape(-1))  # constant
+        pc4 = jnp.take(pc4, jnp.asarray(
+            np.minimum(perm_np.reshape(-1), p_total - 1)), axis=0)
+        p_len = seg * seg_len
+    else:
+        slot_real = None
+        p_len = p_total
+
+    frame = _to_frames(pc4[None, :, :3], centers, rot_rows)   # (G, P', 3)
     mask = jnp.all((frame > box_lo[:, None]) & (frame < box_hi[:, None]),
-                   axis=-1)                                   # (G, P)
+                   axis=-1)                                   # (G, P')
+    if slot_real is not None:
+        mask = mask & slot_real                 # duplicated pad rows dropped
     count = jnp.sum(mask, axis=-1)                            # (G,)
 
-    z = jax.random.uniform(_rbg_key(k1), (g, p_total), jnp.float32)
+    z = jax.random.uniform(_rbg_key(k1), (g, p_len), jnp.float32)
     z = jnp.where(mask, z, -jnp.inf)
     kk = min(num_out, p_total)
 
-    if p_total <= _DIRECT_TOPK_MAX:
+    if not two_stage:
         _, perm = jax.lax.top_k(z, kk)                        # (G, kk)
     else:
-        seg = _SEG
-        pad = (-p_total) % seg
-        zp = jnp.pad(z, ((0, 0), (0, pad)), constant_values=-jnp.inf) \
-            if pad else z
-        seg_len = zp.shape[1] // seg
-        # strided interleave: segment s = points s, s+SEG, s+2*SEG, ...
-        zp = zp.reshape(g, seg_len, seg).swapaxes(1, 2)       # (G, SEG, len)
         # L: 8+ sigma above the expected per-segment share of the top-kk
         lim = min(max(128, 2 * (-(-kk // seg))), seg_len)
-        zs, iseg = jax.lax.top_k(zp, lim)                     # (G, SEG, L)
-        gidx = iseg * seg + jnp.arange(seg)[None, :, None]    # original index
+        zs, iseg = jax.lax.top_k(z.reshape(g, seg, seg_len), lim)
+        gidx = iseg + (jnp.arange(seg) * seg_len)[None, :, None]
         _, j = jax.lax.top_k(zs.reshape(g, seg * lim), kk)
         perm = jnp.take_along_axis(gidx.reshape(g, seg * lim), j, axis=1)
-        perm = jnp.minimum(perm, p_total - 1)  # -inf pad slots (never chosen)
 
     if kk < num_out:  # cloud smaller than num_out: pad (dead branch below)
         perm = jnp.pad(perm, ((0, 0), (0, num_out - kk)), mode="edge")
@@ -236,9 +256,8 @@ def _crop_batch(pc, centers, rot_rows, box_lo, box_hi, num_out: int, key):
     idx = jnp.where((count > num_out)[:, None], perm[:, :num_out],
                     jnp.take_along_axis(perm, jnp.minimum(r, kk - 1), axis=1))
 
-    # gather from the shared cloud (padded to 4 columns: rows gather ~1.5x
-    # faster than (P, 3)), then transform only the selected points
-    pc4 = jnp.pad(pc, ((0, 0), (0, 1)))
+    # gather from the shared (permuted) cloud, then transform only the
+    # selected points (num_out, not P, per grasp)
     sel = jnp.take(pc4, idx, axis=0)[..., :3]                 # (G, num_out, 3)
     return _to_frames(sel, centers, rot_rows), count
 
