@@ -228,8 +228,9 @@ def bench_voxelizer_extra():
 
 def bench_frame_pipeline():
     """Online frame pipeline (kinect2grasp replacement): downsample +
-    normals + GPG sampling + crop/score on a realistic tabletop scene
-    (~16k downsampled points, 150 seeds). Returns ms/frame (warm)."""
+    normals + GPG sampling + crop/score on a segmented-tabletop scene
+    (three objects spread over ~0.6 m — the reference's /table_top_points
+    input is table-plane-segmented). Returns ms/frame (warm)."""
     import jax
     import jax.numpy as jnp
 
@@ -243,13 +244,15 @@ def bench_frame_pipeline():
     det = GraspDetector(scorer, config=DetectorConfig(cloud_pad_to=4096))
 
     rs = np.random.RandomState(0)
-    n = 6000
-    top = rs.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
-    front = rs.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
-    side = rs.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
-    pts = np.concatenate([top, front, side]).astype(np.float32)
-    pts[:, :2] -= 0.03
-    cam = np.array([0.5, 0.5, 1.0], np.float32)
+    objs = []
+    for cx, cy in ((-0.25, -0.15), (0.2, 0.25), (0.05, -0.3)):
+        n = 2000
+        top = rs.rand(n, 3) * [0.06, 0.06, 0] + [cx, cy, 0.08]
+        front = rs.rand(n, 3) * [0.06, 0, 0.06] + [cx, cy, 0.02]
+        side = rs.rand(n, 3) * [0, 0.06, 0.06] + [cx + 0.06, cy, 0.02]
+        objs.append(np.concatenate([top, front, side]).astype(np.float32))
+    pts = np.concatenate(objs)
+    cam = np.array([1.0, 1.0, 1.2], np.float32)
 
     det.process_frame(pts, cam, seed=0)  # compile
     t0 = time.perf_counter()
@@ -326,7 +329,7 @@ def main():
             "reference_torch_cpu_candidates_per_sec": round(baseline, 1) if baseline else None,
             "voxelizer_pallas_ms_100cube_8192tri": round(vox[0], 1) if vox else None,
             "voxelizer_pallas_speedup_vs_xla": round(vox[1], 2) if vox else None,
-            "online_frame_ms_16k_cloud_150_seeds": round(frame_ms, 1) if frame_ms else None,
+            "online_frame_ms_18k_tabletop_150_seeds": round(frame_ms, 1) if frame_ms else None,
         },
     }
     print(json.dumps(result))

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import sdf as sdf_lib
+from ..ops.cloud import extreme_eigvecs_sym3x3
+from ..ops.gpg_counts_pallas import GpgScanContext, gpg_scan_counts_jnp
 from . import quality
 from .gripper import Gripper, collision_and_open_counts, hand_points, panel_box_array
 from .grasp import close_fingers, grasp_from_contact_and_axis
@@ -253,18 +255,18 @@ def gpg_sample_candidates(
         normal-covariance estimate, making frame selection deterministic.
     Returns up to num_seeds * n_theta packed candidates with validity mask.
 
-    Memory shape: the cloud is rotated into the grasp frame ONCE per
-    (seed, theta); every dy offset, approach step, and the final check are
-    box tests with SHIFTED BOUNDS on that one (P, 3) array (a bc move along
-    the frame axes is a pure coordinate shift), fused into count reductions.
-    Seeds run in ``seed_chunk``-sized blocks (lax.map) so peak HBM is
-    O(seed_chunk * n_theta * P * 3) — a naive per-(seed, theta, dy) batch
-    materializes seeds x thetas x dys x P x 3 (81 GB at production scale:
-    150 seeds, 85k points) and OOMs the chip.
+    Memory shape: every dy offset, approach step, and the final check is a
+    shifted-bounds box count against one rotation of the cloud per
+    (seed, theta) — a bc move along the frame axes is a pure coordinate
+    shift. The counting runs through ``ops.gpg_counts_pallas.gpg_scan_counts``
+    (a VMEM-resident Pallas kernel on TPU; chunked jnp elsewhere — the
+    ``seed_chunk`` arg bounds that CPU fallback's peak memory at
+    O(seed_chunk * n_theta * P)). A naive per-(seed, theta, dy) batch of
+    rotated clouds materializes 81 GB at production scale (150 seeds,
+    85k points) and OOMs the chip.
     """
     p_total = points.shape[0]
     dtype = points.dtype
-    boxes = jnp.asarray(panel_box_array(gripper), dtype)
     hand_pts_local = jnp.asarray(hand_points(gripper)[1:], dtype)  # (20, 3)
 
     if r_ball is None:
@@ -285,6 +287,22 @@ def gpg_sample_candidates(
         seed_idx = jnp.pad(seed_idx, (0, num_seeds - seed_idx.shape[0]),
                            mode="edge")
 
+    # Morton-order the seeds so consecutive seeds are spatially close: the
+    # Pallas scan kernel prunes cloud tiles per 128-frame block against the
+    # block's seed bounding sphere, and randomly-ordered seeds would make
+    # every block span the whole scene (no pruning). Selection is unchanged
+    # — this only permutes the candidate output order.
+    sxyz = points[seed_idx]
+    lo_s = jnp.min(sxyz, axis=0)
+    hi_s = jnp.max(sxyz, axis=0)
+    q = jnp.clip((sxyz - lo_s) / jnp.maximum(hi_s - lo_s, 1e-9) * 1023.0,
+                 0.0, 1023.0).astype(jnp.uint32)
+    code = jnp.zeros(seed_idx.shape, jnp.uint32)
+    for b in range(10):
+        for a in range(3):
+            code = code | (((q[:, a] >> b) & 1) << (3 * b + a))
+    seed_idx = seed_idx[jnp.argsort(code)]
+
     thetas = jnp.arange(-range_dtheta, range_dtheta + 1, dtheta_deg,
                         dtype=dtype) / 180.0 * jnp.pi
     n_theta = thetas.shape[0]
@@ -300,12 +318,16 @@ def gpg_sample_candidates(
                         [-axis[1], axis[0], 0.0]], dtype)
         return c * jnp.eye(3, dtype=dtype) + s * kx + (1 - c) * jnp.outer(axis, axis)
 
-    # Box-count scheme: moving bottom_center by sx*approach + sy*major IS a
-    # (sx, sy, 0) coordinate shift of the cloud-in-frame array pf0, so every
-    # dy offset / approach step / final check is a shifted-bounds membership
-    # test on ONE rotation of the cloud (no (.., P, 3) batch materializes);
-    # each scan varies only one axis, so the other two axes' masks are
-    # computed once per scan (xmask/ymask/zm inside one_theta).
+    # Box-count scheme: moving bottom_center by sx*approach + sy*major IS an
+    # (sx, sy, 0) coordinate shift of the cloud-in-frame coordinates, so
+    # every dy offset / approach step / final check is a shifted-bounds
+    # membership count against ONE rotation of the cloud. Each scan varies
+    # exactly one frame axis, which ops/gpg_counts_pallas.gpg_scan_counts
+    # exploits: on TPU a Pallas kernel computes a whole scan's counts for
+    # every (seed, theta) frame in one VMEM-resident pass over the cloud
+    # (the XLA formulation re-read the rotated cloud per shift and was the
+    # online pipeline's dominant stage); on CPU a chunked jnp path with the
+    # same algebra serves as the oracle.
 
     # per-seed local frames, ONE batched pass for all seeds (doing the
     # neighbor search inside the per-seed loop serializes 150 top_k calls
@@ -324,22 +346,25 @@ def gpg_sample_candidates(
               + jnp.sum(points * points, axis=1)[None, :])   # (S, P)
         knn = min(max_neighbors, p_total)
         # cap the neighbor count like the KD-tree's max_nn=100, then the
-        # r-ball filter
-        nd2, nbr = jax.lax.top_k(-d2, knn)             # (S, knn)
-        w = ((-nd2 <= r_ball * r_ball) & (-nd2 > 1e-12)).astype(dtype)
+        # r-ball filter. approx_min_k on TPU (exact top_k elsewhere):
+        # ~0.95 recall/neighbor; the normal-covariance frame is a
+        # statistical estimate over ~100 neighbors, insensitive to an
+        # occasional swapped one (same trade as estimate_normals_knn)
+        if jax.default_backend() == "tpu":
+            pd2, nbr = jax.lax.approx_min_k(d2, knn)   # (S, knn)
+        else:
+            nd2, nbr = jax.lax.top_k(-d2, knn)
+            pd2 = -nd2
+        w = ((pd2 <= r_ball * r_ball) & (pd2 > 1e-12)).astype(dtype)
         nn = normals[nbr]                              # (S, knn, 3)
         nn = nn / jnp.maximum(
             jnp.linalg.norm(nn, axis=-1, keepdims=True), 1e-12)
         m = jnp.einsum("sp,spi,spj->sij", w, nn, nn)
         seed_m_ok = jnp.sum(jnp.abs(m), axis=(1, 2)) > 0
 
-        eigval, eigvec = jnp.linalg.eigh(m)            # (S, 3, 3)
-        minor = eigvec[..., 0]
-        normal = eigvec[..., 2]
-        minor = minor / jnp.maximum(
-            jnp.linalg.norm(minor, axis=-1, keepdims=True), 1e-12)
-        normal = normal / jnp.maximum(
-            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+        # closed-form extreme eigenpairs (ops/cloud.py Eberly solver) —
+        # jnp.linalg.eigh's iterative QR lowering costs ms even at S=150
+        minor, normal = extreme_eigvecs_sym3x3(m)      # (S, 3) each
         major = jnp.cross(minor, normal)
         major = major / jnp.maximum(
             jnp.linalg.norm(major, axis=-1, keepdims=True), 1e-12)
@@ -349,110 +374,95 @@ def gpg_sample_candidates(
         minor = jnp.where(flip[:, None], -minor, minor)
         seed_frames = jnp.stack([normal, major, minor], axis=1)  # (S, 3, 3)
 
-    def one_seed(si, frame, m_ok):
-        seed = points[si]
-        new_normal, major_pc, minor_pc = frame[0], frame[1], frame[2]
+    # flatten (seed, theta) -> F frames, seed-major (matches the previous
+    # (S, n_theta) layout)
+    seeds_xyz_all = points[seed_idx]                        # (S, 3)
 
-        def one_theta(theta):
-            rot = axis_rotation(minor_pc, theta)
-            t_major = rot @ major_pc
-            t_normal = rot @ new_normal
-            # the cloud in this theta's grasp frame, about the seed — the
-            # ONE rotation; every bc below is a frame-coord shift of it
-            rot_rows = jnp.stack([t_normal, t_major, minor_pc])
-            pf0 = (points - seed) @ rot_rows.T          # (P, 3)
-            bite = jnp.asarray(gripper.init_bite, dtype)
+    def rows_of(frame, theta):
+        rot = axis_rotation(frame[2], theta)
+        t_major = rot @ frame[1]
+        t_normal = rot @ frame[0]
+        return jnp.stack([t_normal, t_major, frame[2]])     # rows (3, 3)
 
-            # factored box tests: the dy scan shifts bounds only along y and
-            # the approach scan only along x, so the other axes' membership
-            # masks are computed once per scan instead of per shift
-            px, py, pz = pf0[:, 0], pf0[:, 1], pf0[:, 2]
-            zm = ((pz[None, :] > boxes[:, 0, 2:3])
-                  & (pz[None, :] < boxes[:, 1, 2:3]))   # (4, P)
+    rr = jax.vmap(lambda fr: jax.vmap(
+        lambda th: rows_of(fr, th))(thetas))(seed_frames)   # (S, T, 3, 3)
+    n_frames = num_seeds * n_theta
+    rr = rr.reshape(n_frames, 3, 3)
+    seeds_rep = jnp.repeat(seeds_xyz_all, n_theta, axis=0)  # (F, 3)
+    t_normal = rr[:, 0]
+    t_major = rr[:, 1]
+    minor_rep = rr[:, 2]
+    bite = float(gripper.init_bite)
+    boxes_np = panel_box_array(gripper)
 
-            def xmask(sx):
-                return ((px[None, :] > boxes[:, 0, 0:1] + sx)
-                        & (px[None, :] < boxes[:, 1, 0:1] + sx))
+    if jax.default_backend() == "tpu":
+        # Pallas path: the context shares the padded cloud, rotation
+        # weights, and pruning spheres across the three scans
+        ctx = GpgScanContext(points, seeds_rep, rr, boxes_np)
 
-            def ymask(sy):
-                return ((py[None, :] > boxes[:, 0, 1:2] + sy)
-                        & (py[None, :] < boxes[:, 1, 1:2] + sy))
+        def counts(fixed, scan, scan_is_y):
+            return ctx.counts(fixed, scan, scan_is_y=scan_is_y)
+    else:
+        def counts(fixed, scan, scan_is_y):
+            return gpg_scan_counts_jnp(
+                points, seeds_rep, rr, fixed, scan, boxes_np,
+                scan_is_y=scan_is_y,
+                frame_chunk=max(1, seed_chunk) * n_theta)
 
-            base_dy = xmask(-bite) & zm                 # (4, P)
+    # dy scan (grasp_sampler.py:1539-1563): middle valid dy
+    c1 = counts(jnp.full((n_frames,), -bite, dtype),
+                jnp.broadcast_to(dys, (n_frames, n_dy)), True)  # (F, dy, 4)
+    oks = ((c1[..., 0] > 0) & (c1[..., 1] == 0)
+           & (c1[..., 2] == 0) & (c1[..., 3] == 0))             # (F, n_dy)
+    n_ok = jnp.sum(oks, axis=1)
+    target = jnp.ceil(n_ok / 2.0).astype(jnp.int32)
+    cum = jnp.cumsum(oks.astype(jnp.int32), axis=1)
+    pick = jnp.argmax((cum == target[:, None]) & oks, axis=1)
+    dy_pick = dys[pick]                                         # (F,)
+    bc = seeds_rep + t_major * dy_pick[:, None] - bite * t_normal
 
-            def one_dy(dy):
-                c = jnp.sum(base_dy & ymask(dy), axis=1)
-                return (c[0] > 0) & (c[1] == 0) & (c[2] == 0) & (c[3] == 0)
+    # downward-grasp guard (grasp_sampler.py:1564-1569)
+    finger_top = bc + t_normal * gripper.hand_depth
+    downward = finger_top[:, 2] < bc[:, 2] - gripper.hand_depth * 0.5
+    theta_ok = (n_ok > 0) & downward
 
-            oks = jax.vmap(one_dy)(dys)                # (n_dy,)
-            n_ok = jnp.sum(oks)
-            # middle valid dy (grasp_sampler.py:1561-1563)
-            target = jnp.ceil(n_ok / 2.0).astype(jnp.int32)
-            cum = jnp.cumsum(oks.astype(jnp.int32))
-            pick = jnp.argmax((cum == target) & oks)
-            dy_pick = dys[pick]
-            bc = seed + t_major * dy_pick - bite * t_normal
+    # approach along +normal until collision (grasp_sampler.py:1574-1585)
+    steps = jnp.arange(approach_steps, dtype=dtype) * approach_step
+    c2 = counts(dy_pick, jnp.broadcast_to(-bite + steps,
+                                          (n_frames, approach_steps)), False)
+    collides = (c2[..., 1] > 0) | (c2[..., 2] > 0) | (c2[..., 3] > 0)
+    hit = jnp.any(collides, axis=1)
+    s_hit = steps[jnp.argmax(collides, axis=1)]
+    x_bc2 = -bite + s_hit - approach_step * 3.0                 # (F,)
+    bc2 = seeds_rep + t_major * dy_pick[:, None] + x_bc2[:, None] * t_normal
 
-            # downward-grasp guard (grasp_sampler.py:1564-1569)
-            finger_top = bc + t_normal * gripper.hand_depth
-            downward = finger_top[2] < bc[2] - gripper.hand_depth * 0.5
-            theta_ok = (n_ok > 0) & downward
+    # table clearance (grasp_sampler.py:1588-1605); world hand points
+    hp_world = bc2[:, None, :] + jnp.einsum("pj,fjk->fpk",
+                                            hand_pts_local, rr)  # (F, 20, 3)
+    min_i = jnp.argmin(hp_world[..., 2], axis=1)
+    min_pos = jnp.take_along_axis(hp_world, min_i[:, None, None],
+                                  axis=1)[:, 0]                 # (F, 3)
+    nz_safe = jnp.where(jnp.abs(t_normal[:, 2]) < 1e-9, 1e-9, t_normal[:, 2])
+    tx = -min_pos[:, 2] * t_normal[:, 0] / nz_safe + min_pos[:, 0]
+    ty = -min_pos[:, 2] * t_normal[:, 1] / nz_safe + min_pos[:, 1]
+    p_table = jnp.stack([tx, ty, jnp.zeros_like(tx)], axis=1)
+    dis_go_back = (jnp.linalg.norm(min_pos - p_table, axis=1)
+                   + safety_dis_above_table)
+    need_adjust = min_pos[:, 2] < safety_dis_above_table
+    bc_mod = jnp.where(need_adjust[:, None],
+                       bc2 - t_normal * dis_go_back[:, None], bc2)
+    x_mod = x_bc2 - jnp.where(need_adjust, dis_go_back, 0.0)
 
-            # approach along +normal until collision (grasp_sampler.py:1574-1585)
-            steps = jnp.arange(approach_steps, dtype=dtype) * approach_step
-            base_ap = ymask(dy_pick) & zm               # (4, P)
+    # final checks (grasp_sampler.py:1607-1614)
+    c3 = counts(dy_pick, x_mod[:, None], False)[:, 0]           # (F, 4)
+    final_ok = ((c3[:, 0] > min_open_points) & (c3[:, 1] == 0)
+                & (c3[:, 2] == 0) & (c3[:, 3] == 0))
 
-            def collide_at(s):
-                c = jnp.sum(base_ap & xmask(-bite + s), axis=1)
-                return (c[1] > 0) | (c[2] > 0) | (c[3] > 0)
-
-            collides = jax.vmap(collide_at)(steps)     # (approach_steps,)
-            hit = jnp.any(collides)
-            s_hit = steps[jnp.argmax(collides)]
-            x_bc2 = -bite + s_hit - approach_step * 3.0
-            bc2 = seed + t_major * dy_pick + x_bc2 * t_normal
-
-            # table clearance (grasp_sampler.py:1588-1605); world hand points
-            hp_world = bc2 + hand_pts_local @ rot_rows
-            min_i = jnp.argmin(hp_world[:, 2])
-            min_pos = hp_world[min_i]
-            nz_safe = jnp.where(jnp.abs(t_normal[2]) < 1e-9, 1e-9, t_normal[2])
-            # (tx/ty, not px/py: those name the xmask/ymask closure inputs)
-            tx = -min_pos[2] * t_normal[0] / nz_safe + min_pos[0]
-            ty = -min_pos[2] * t_normal[1] / nz_safe + min_pos[1]
-            p_table = jnp.stack([tx, ty, jnp.zeros((), dtype)])
-            dis_go_back = jnp.linalg.norm(min_pos - p_table) + safety_dis_above_table
-            need_adjust = min_pos[2] < safety_dis_above_table
-            bc_mod = jnp.where(need_adjust, bc2 - t_normal * dis_go_back, bc2)
-            x_mod = x_bc2 - jnp.where(need_adjust, dis_go_back, 0.0)
-
-            # final checks (grasp_sampler.py:1607-1614)
-            c_final = jnp.sum(base_ap & xmask(x_mod), axis=1)
-            final_ok = ((c_final[0] > min_open_points)
-                        & (c_final[1] == 0) & (c_final[2] == 0)
-                        & (c_final[3] == 0))
-            valid = m_ok & theta_ok & hit & final_ok
-            frame = jnp.stack([bc2, t_normal, t_major, minor_pc, bc_mod])
-            return frame, valid
-
-        return jax.vmap(one_theta)(thetas)  # (n_theta, 5, 3), (n_theta,)
-
-    # chunked over seeds: peak HBM = seed_chunk * n_theta * P * 3 floats
-    chunk = max(1, min(seed_chunk, num_seeds))
-    pad_seeds = (-num_seeds) % chunk
-
-    def padc(a):
-        return jnp.concatenate([a, a[:pad_seeds]]) if pad_seeds else a
-
-    frames, valid = jax.lax.map(
-        lambda args: jax.vmap(one_seed)(*args),
-        (padc(seed_idx).reshape(-1, chunk),
-         padc(seed_frames).reshape(-1, chunk, 3, 3),
-         padc(seed_m_ok).reshape(-1, chunk)))
-    frames = frames.reshape(-1, n_theta, 5, 3)[:num_seeds]
-    valid = valid.reshape(-1, n_theta)[:num_seeds]
-    valid = valid & above[seed_idx][:, None]  # discard pad seeds (none above)
-    return GpgCandidates(frames.reshape(-1, 5, 3), valid.reshape(-1))
+    valid = (jnp.repeat(seed_m_ok, n_theta) & theta_ok & hit & final_ok
+             & jnp.repeat(above[seed_idx], n_theta))
+    frames = jnp.stack([bc2, t_normal, t_major, minor_rep, bc_mod],
+                       axis=1)                                  # (F, 5, 3)
+    return GpgCandidates(frames, valid)
 
 
 def sample_grasps_stable_poses(sdf: sdf_lib.SdfGrid, key, stable_poses,

@@ -218,7 +218,7 @@ class GraspScorer:
 
     # ------------------------------------------------------------------
     def score_candidates(self, pc, candidates, hand_depth, width,
-                         seed: int = 0, valid=None):
+                         seed: int = 0, valid=None, extra_fetch=None):
         """End-to-end: raw scene cloud + GPG candidates -> ranked good grasps.
 
         Args:
@@ -230,9 +230,14 @@ class GraspScorer:
           valid: optional (G,) bool marking which candidate rows are real —
               lets callers pass a FIXED-SIZE candidate buffer (stable jit
               shapes) with dead rows masked out.
+          extra_fetch: optional pytree of device arrays to fetch in the SAME
+              device_get as the scores — on a tunneled TPU every separate
+              fetch is a host round trip, so callers bundle their own small
+              outputs (e.g. the candidate frames) into this one transfer.
 
         Returns dict with pred/prob/score per candidate plus the ranked
-        order of "good" candidates (kinect2grasp.py:500-514 semantics).
+        order of "good" candidates (kinect2grasp.py:500-514 semantics);
+        with ``extra_fetch``, returns (dict, fetched_extras).
         """
         on_device = isinstance(candidates, jax.Array)
         if on_device:
@@ -243,7 +248,7 @@ class GraspScorer:
         else:
             cand = np.asarray(candidates, dtype=np.float32).reshape(-1, 5, 3)
         if cand.shape[0] == 0:  # no candidates this frame: empty result
-            return {
+            empty = {
                 "pred": np.zeros((0,), np.int32),
                 "prob": np.zeros((0, self.k), np.float32),
                 "score": np.zeros((0,), np.float32),
@@ -251,6 +256,9 @@ class GraspScorer:
                 "valid": np.zeros((0,), bool),
                 "good_indices": np.zeros((0,), np.int64),
             }
+            if extra_fetch is not None:
+                return empty, jax.device_get(extra_fetch)
+            return empty
         g = cand.shape[0]
         g_pad = max(_round_up(g, self.pad_to), self.pad_to)
         # pad with unit frames to keep normalize() well-defined
@@ -282,7 +290,12 @@ class GraspScorer:
         )
         # one device_get for all outputs: device->host transfers dominate the
         # per-scene latency on tunneled TPUs, so fetch the whole tuple at once
-        pred, prob, counts, valid, good, order = jax.device_get(out)
+        # (including any caller-bundled extras)
+        if extra_fetch is not None:
+            (pred, prob, counts, valid, good, order), extras = \
+                jax.device_get((out, extra_fetch))
+        else:
+            pred, prob, counts, valid, good, order = jax.device_get(out)
         pred = pred[:g]
         prob = prob[:g]
         counts = counts[:g]
@@ -291,7 +304,7 @@ class GraspScorer:
         order = order[(order < g) & good[np.minimum(order, g - 1)]][:g]
 
         score_value = prob[:, self._best_class]
-        return {
+        result = {
             "pred": pred,
             "prob": prob,
             "score": score_value,
@@ -299,3 +312,6 @@ class GraspScorer:
             "valid": valid,
             "good_indices": order,
         }
+        if extra_fetch is not None:
+            return result, extras
+        return result

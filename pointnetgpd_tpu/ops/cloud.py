@@ -67,6 +67,42 @@ def voxel_downsample_packed(points, n_grid: int = 500, pad_value=-1e6):
     return packed, count
 
 
+def _eberly_shifted(a):
+    """Shared Eberly conditioning: shift by the mean eigenvalue, scale to
+    O(1). Returns (b, p, phi, scale, tiny) with eigenvalues of ``b`` equal
+    to 2p cos(phi + 2 pi k / 3), k in {0 (largest), 2 (smallest)}."""
+    eye = jnp.eye(3, dtype=a.dtype)
+    q = jnp.trace(a, axis1=-2, axis2=-1)[..., None, None] / 3.0
+    a_c = a - q * eye
+    scale = jnp.max(jnp.abs(a_c), axis=(-2, -1), keepdims=True)
+    tiny = jnp.asarray(1e-30, a.dtype)
+    b = a_c / jnp.maximum(scale, tiny)
+
+    p = jnp.sqrt(jnp.sum(b * b, axis=(-2, -1), keepdims=True) / 6.0)
+    c = b / jnp.maximum(p, tiny)
+    r = jnp.clip(jnp.linalg.det(c)[..., None, None] / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    return b, p, phi, scale, tiny
+
+
+def _eigvec_for(b, lam, scale, tiny, fallback_axis):
+    """Unit eigenvector of ``b`` for (non-repeated extreme) eigenvalue
+    ``lam``: the largest pairwise cross product of the rows of
+    (b - lam I) spans it."""
+    m = b - lam * jnp.eye(3, dtype=b.dtype)
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    cands = jnp.stack([jnp.cross(r0, r1), jnp.cross(r0, r2),
+                       jnp.cross(r1, r2)], axis=-2)        # (..., 3, 3)
+    norms = jnp.linalg.norm(cands, axis=-1)                # (..., 3)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1),
+                            axis=-2)[..., 0, :]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    fallback = jnp.zeros_like(v).at[..., fallback_axis].set(1.0)
+    degenerate = (n < 1e-12) | (scale[..., 0] < tiny)
+    return jnp.where(degenerate, fallback, v / jnp.maximum(n, tiny))
+
+
 def smallest_eigvec_sym3x3(a):
     """Closed-form least-eigenvalue eigenvector of batched symmetric 3x3
     matrices (Eberly's trigonometric eigensolver) — replaces
@@ -76,36 +112,21 @@ def smallest_eigvec_sym3x3(a):
     a: (..., 3, 3) symmetric. Returns (..., 3) unit vectors (sign arbitrary).
     Isotropic inputs (all eigenvalues equal) return [0, 0, 1].
     """
-    eye = jnp.eye(3, dtype=a.dtype)
-    # condition: shift by the mean eigenvalue and scale to O(1)
-    q = jnp.trace(a, axis1=-2, axis2=-1)[..., None, None] / 3.0
-    a_c = a - q * eye
-    scale = jnp.max(jnp.abs(a_c), axis=(-2, -1), keepdims=True)
-    tiny = jnp.asarray(1e-30, a.dtype)
-    b = a_c / jnp.maximum(scale, tiny)
-
-    p = jnp.sqrt(jnp.sum(b * b, axis=(-2, -1), keepdims=True) / 6.0)
-    p_safe = jnp.maximum(p, tiny)
-    c = b / p_safe
-    r = jnp.clip(jnp.linalg.det(c)[..., None, None] / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    # the smallest eigenvalue of the shifted/scaled matrix
+    b, p, phi, scale, tiny = _eberly_shifted(a)
     lam_min = 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    return _eigvec_for(b, lam_min, scale, tiny, 2)
 
-    # eigenvector: rows of (b - lam_min I) span the normal complement; the
-    # largest pairwise cross product of its rows is the eigenvector
-    m = b - lam_min * eye
-    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
-    cands = jnp.stack([jnp.cross(r0, r1), jnp.cross(r0, r2),
-                       jnp.cross(r1, r2)], axis=-2)        # (..., 3, 3)
-    norms = jnp.linalg.norm(cands, axis=-1)                # (..., 3)
-    best = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1),
-                            axis=-2)[..., 0, :]
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    fallback = jnp.zeros_like(v).at[..., 2].set(1.0)
-    degenerate = (n < 1e-12) | (scale[..., 0] < tiny)
-    return jnp.where(degenerate, fallback, v / jnp.maximum(n, tiny))
+
+def extreme_eigvecs_sym3x3(a):
+    """Closed-form (least, greatest)-eigenvalue eigenvectors of batched
+    symmetric 3x3 matrices — the GPG local frame's (minor, normal) pair
+    (grasp_sampler.py:1486-1500 takes eigh columns 0 and 2). Signs
+    arbitrary; isotropic inputs return ([0,0,1], [1,0,0])."""
+    b, p, phi, scale, tiny = _eberly_shifted(a)
+    lam_min = 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_max = 2.0 * p * jnp.cos(phi)
+    return (_eigvec_for(b, lam_min, scale, tiny, 2),
+            _eigvec_for(b, lam_max, scale, tiny, 0))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "exact"))

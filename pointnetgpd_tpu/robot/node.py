@@ -120,30 +120,29 @@ class GraspDetector:
         # compact valid candidates ON DEVICE (stable: original order) into a
         # FIXED num_grasps buffer (varying lengths would recompile the jitted
         # scorer every frame) with a validity mask; fetching all ~2850 GPG
-        # frames through the relay costs more than scoring them
-        n_valid = int(jnp.sum(cand.valid))          # 4-byte fetch
+        # frames through the relay costs more than scoring them. n_valid
+        # stays a device scalar here — it rides the scorer's single fetch
+        # (each separate fetch through the relay is a host round trip).
+        n_valid_dev = jnp.sum(cand.valid)
         order0 = jnp.argsort(~cand.valid, stable=True)
         frames = jnp.take(cand.frames, order0[:cfg.num_grasps], axis=0)
-        frame_valid = jnp.arange(cfg.num_grasps) < n_valid
-        keep = min(cfg.num_grasps, n_valid)
-        if keep == 0:
-            empty = np.zeros((0,), np.float32)
-            return {"grasps": np.zeros((0, 5, 3), np.float32),
-                    "scores": empty, "pred": np.zeros((0,), np.int64),
-                    "all_frames": np.zeros((0, 5, 3), np.float32),
-                    "all_scores": empty, "counts": np.zeros((0,), np.int32),
-                    "points": pts}
+        frame_valid = jnp.arange(cfg.num_grasps) < n_valid_dev
 
         # crop + batched scoring + vote + rank (kinect2grasp.py:443-514);
-        # the padded cloud keeps the scorer's jit shape per-bucket stable
-        result = self.scorer.score_candidates(
+        # the padded cloud keeps the scorer's jit shape per-bucket stable.
+        # ONE device->host transfer for scores + frames + valid count.
+        result, (frames_np, n_valid) = self.scorer.score_candidates(
             pts_dev, frames, hand_depth=self.gripper.hand_depth,
             width=self.gripper.open_width, seed=seed + 1,
-            valid=frame_valid)
+            valid=frame_valid, extra_fetch=(frames, n_valid_dev))
+        keep = min(cfg.num_grasps, int(n_valid))
+        frames_np = frames_np[:keep]
+        # good requires valid, so ranked indices are < keep by construction;
+        # the filter also covers keep == 0 (no early return needed)
         order = result["good_indices"]
-        frames_np = np.asarray(frames)[:keep]  # <= num_grasps: tiny fetch
+        order = order[order < keep]
         return {
-            "grasps": frames_np[order[order < keep]],
+            "grasps": frames_np[order],
             "scores": result["score"][order],
             "pred": result["pred"][:keep],
             "all_frames": frames_np,
