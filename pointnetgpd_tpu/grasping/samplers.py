@@ -224,7 +224,8 @@ class GpgCandidates(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "gripper", "num_seeds", "max_neighbors", "num_dy", "dtheta_deg",
-    "range_dtheta", "approach_steps", "min_open_points", "seed_chunk"))
+    "range_dtheta", "approach_steps", "min_open_points", "seed_chunk",
+    "mesh"))
 def gpg_sample_candidates(
     points,
     normals,
@@ -244,6 +245,7 @@ def gpg_sample_candidates(
     r_ball: float | None = None,
     point_frames=None,
     seed_chunk: int = 8,
+    mesh=None,
 ) -> GpgCandidates:
     """GPG candidate generation on a raw cloud, fully batched
     (GpgGraspSamplerPcl.sample_grasps, grasp_sampler.py:1389-1656).
@@ -264,6 +266,12 @@ def gpg_sample_candidates(
     O(seed_chunk * n_theta * P)). A naive per-(seed, theta, dy) batch of
     rotated clouds materializes 81 GB at production scale (150 seeds,
     85k points) and OOMs the chip.
+
+    ``mesh``: optional jax.sharding.Mesh — shards the (seed x theta) frame
+    axis over the mesh's first axis via shard_map (frames are independent
+    given the replicated cloud: zero collectives, linear scaling, same
+    results as single-device). The online analogue of
+    ``GraspScorer(mesh=...)``'s candidate-axis sharding.
     """
     p_total = points.shape[0]
     dtype = points.dtype
@@ -389,80 +397,123 @@ def gpg_sample_candidates(
     n_frames = num_seeds * n_theta
     rr = rr.reshape(n_frames, 3, 3)
     seeds_rep = jnp.repeat(seeds_xyz_all, n_theta, axis=0)  # (F, 3)
-    t_normal = rr[:, 0]
-    t_major = rr[:, 1]
-    minor_rep = rr[:, 2]
     bite = float(gripper.init_bite)
     boxes_np = panel_box_array(gripper)
+    m_ok_rep = jnp.repeat(seed_m_ok, n_theta)
+    above_rep = jnp.repeat(above[seed_idx], n_theta)
 
-    if jax.default_backend() == "tpu":
-        # Pallas path: the context shares the padded cloud, rotation
-        # weights, and pruning spheres across the three scans
-        ctx = GpgScanContext(points, seeds_rep, rr, boxes_np)
+    def frames_block(points_r, seeds_rep, rr, m_ok_rep, above_rep):
+        """Scans + per-frame glue for a block of frames (shardable: each
+        frame is independent given the replicated cloud)."""
+        f_blk = seeds_rep.shape[0]
+        t_normal = rr[:, 0]
+        t_major = rr[:, 1]
+        minor_rep = rr[:, 2]
 
-        def counts(fixed, scan, scan_is_y):
-            return ctx.counts(fixed, scan, scan_is_y=scan_is_y)
-    else:
-        def counts(fixed, scan, scan_is_y):
-            return gpg_scan_counts_jnp(
-                points, seeds_rep, rr, fixed, scan, boxes_np,
-                scan_is_y=scan_is_y,
-                frame_chunk=max(1, seed_chunk) * n_theta)
+        if jax.default_backend() == "tpu":
+            # Pallas path: the context shares the padded cloud, rotation
+            # weights, and pruning spheres across the three scans
+            ctx = GpgScanContext(points_r, seeds_rep, rr, boxes_np)
 
-    # dy scan (grasp_sampler.py:1539-1563): middle valid dy
-    c1 = counts(jnp.full((n_frames,), -bite, dtype),
-                jnp.broadcast_to(dys, (n_frames, n_dy)), True)  # (F, dy, 4)
-    oks = ((c1[..., 0] > 0) & (c1[..., 1] == 0)
-           & (c1[..., 2] == 0) & (c1[..., 3] == 0))             # (F, n_dy)
-    n_ok = jnp.sum(oks, axis=1)
-    target = jnp.ceil(n_ok / 2.0).astype(jnp.int32)
-    cum = jnp.cumsum(oks.astype(jnp.int32), axis=1)
-    pick = jnp.argmax((cum == target[:, None]) & oks, axis=1)
-    dy_pick = dys[pick]                                         # (F,)
-    bc = seeds_rep + t_major * dy_pick[:, None] - bite * t_normal
+            def counts(fixed, scan, scan_is_y):
+                return ctx.counts(fixed, scan, scan_is_y=scan_is_y)
+        else:
+            def counts(fixed, scan, scan_is_y):
+                return gpg_scan_counts_jnp(
+                    points_r, seeds_rep, rr, fixed, scan, boxes_np,
+                    scan_is_y=scan_is_y,
+                    frame_chunk=max(1, seed_chunk) * n_theta)
 
-    # downward-grasp guard (grasp_sampler.py:1564-1569)
-    finger_top = bc + t_normal * gripper.hand_depth
-    downward = finger_top[:, 2] < bc[:, 2] - gripper.hand_depth * 0.5
-    theta_ok = (n_ok > 0) & downward
+        # dy scan (grasp_sampler.py:1539-1563): middle valid dy
+        c1 = counts(jnp.full((f_blk,), -bite, dtype),
+                    jnp.broadcast_to(dys, (f_blk, n_dy)), True)  # (F, dy, 4)
+        oks = ((c1[..., 0] > 0) & (c1[..., 1] == 0)
+               & (c1[..., 2] == 0) & (c1[..., 3] == 0))          # (F, n_dy)
+        n_ok = jnp.sum(oks, axis=1)
+        target = jnp.ceil(n_ok / 2.0).astype(jnp.int32)
+        cum = jnp.cumsum(oks.astype(jnp.int32), axis=1)
+        pick = jnp.argmax((cum == target[:, None]) & oks, axis=1)
+        dy_pick = dys[pick]                                      # (F,)
+        bc = seeds_rep + t_major * dy_pick[:, None] - bite * t_normal
 
-    # approach along +normal until collision (grasp_sampler.py:1574-1585)
-    steps = jnp.arange(approach_steps, dtype=dtype) * approach_step
-    c2 = counts(dy_pick, jnp.broadcast_to(-bite + steps,
-                                          (n_frames, approach_steps)), False)
-    collides = (c2[..., 1] > 0) | (c2[..., 2] > 0) | (c2[..., 3] > 0)
-    hit = jnp.any(collides, axis=1)
-    s_hit = steps[jnp.argmax(collides, axis=1)]
-    x_bc2 = -bite + s_hit - approach_step * 3.0                 # (F,)
-    bc2 = seeds_rep + t_major * dy_pick[:, None] + x_bc2[:, None] * t_normal
+        # downward-grasp guard (grasp_sampler.py:1564-1569)
+        finger_top = bc + t_normal * gripper.hand_depth
+        downward = finger_top[:, 2] < bc[:, 2] - gripper.hand_depth * 0.5
+        theta_ok = (n_ok > 0) & downward
 
-    # table clearance (grasp_sampler.py:1588-1605); world hand points
-    hp_world = bc2[:, None, :] + jnp.einsum("pj,fjk->fpk",
-                                            hand_pts_local, rr)  # (F, 20, 3)
-    min_i = jnp.argmin(hp_world[..., 2], axis=1)
-    min_pos = jnp.take_along_axis(hp_world, min_i[:, None, None],
-                                  axis=1)[:, 0]                 # (F, 3)
-    nz_safe = jnp.where(jnp.abs(t_normal[:, 2]) < 1e-9, 1e-9, t_normal[:, 2])
-    tx = -min_pos[:, 2] * t_normal[:, 0] / nz_safe + min_pos[:, 0]
-    ty = -min_pos[:, 2] * t_normal[:, 1] / nz_safe + min_pos[:, 1]
-    p_table = jnp.stack([tx, ty, jnp.zeros_like(tx)], axis=1)
-    dis_go_back = (jnp.linalg.norm(min_pos - p_table, axis=1)
-                   + safety_dis_above_table)
-    need_adjust = min_pos[:, 2] < safety_dis_above_table
-    bc_mod = jnp.where(need_adjust[:, None],
-                       bc2 - t_normal * dis_go_back[:, None], bc2)
-    x_mod = x_bc2 - jnp.where(need_adjust, dis_go_back, 0.0)
+        # approach along +normal until collision (grasp_sampler.py:1574-1585)
+        steps = jnp.arange(approach_steps, dtype=dtype) * approach_step
+        c2 = counts(dy_pick, jnp.broadcast_to(-bite + steps,
+                                              (f_blk, approach_steps)),
+                    False)
+        collides = (c2[..., 1] > 0) | (c2[..., 2] > 0) | (c2[..., 3] > 0)
+        hit = jnp.any(collides, axis=1)
+        s_hit = steps[jnp.argmax(collides, axis=1)]
+        x_bc2 = -bite + s_hit - approach_step * 3.0              # (F,)
+        bc2 = seeds_rep + t_major * dy_pick[:, None] \
+            + x_bc2[:, None] * t_normal
 
-    # final checks (grasp_sampler.py:1607-1614)
-    c3 = counts(dy_pick, x_mod[:, None], False)[:, 0]           # (F, 4)
-    final_ok = ((c3[:, 0] > min_open_points) & (c3[:, 1] == 0)
-                & (c3[:, 2] == 0) & (c3[:, 3] == 0))
+        # table clearance (grasp_sampler.py:1588-1605); world hand points
+        hp_world = bc2[:, None, :] + jnp.einsum(
+            "pj,fjk->fpk", hand_pts_local, rr)                   # (F, 20, 3)
+        min_i = jnp.argmin(hp_world[..., 2], axis=1)
+        min_pos = jnp.take_along_axis(hp_world, min_i[:, None, None],
+                                      axis=1)[:, 0]              # (F, 3)
+        nz_safe = jnp.where(jnp.abs(t_normal[:, 2]) < 1e-9, 1e-9,
+                            t_normal[:, 2])
+        tx = -min_pos[:, 2] * t_normal[:, 0] / nz_safe + min_pos[:, 0]
+        ty = -min_pos[:, 2] * t_normal[:, 1] / nz_safe + min_pos[:, 1]
+        p_table = jnp.stack([tx, ty, jnp.zeros_like(tx)], axis=1)
+        dis_go_back = (jnp.linalg.norm(min_pos - p_table, axis=1)
+                       + safety_dis_above_table)
+        need_adjust = min_pos[:, 2] < safety_dis_above_table
+        bc_mod = jnp.where(need_adjust[:, None],
+                           bc2 - t_normal * dis_go_back[:, None], bc2)
+        x_mod = x_bc2 - jnp.where(need_adjust, dis_go_back, 0.0)
 
-    valid = (jnp.repeat(seed_m_ok, n_theta) & theta_ok & hit & final_ok
-             & jnp.repeat(above[seed_idx], n_theta))
-    frames = jnp.stack([bc2, t_normal, t_major, minor_rep, bc_mod],
-                       axis=1)                                  # (F, 5, 3)
-    return GpgCandidates(frames, valid)
+        # final checks (grasp_sampler.py:1607-1614)
+        c3 = counts(dy_pick, x_mod[:, None], False)[:, 0]        # (F, 4)
+        final_ok = ((c3[:, 0] > min_open_points) & (c3[:, 1] == 0)
+                    & (c3[:, 2] == 0) & (c3[:, 3] == 0))
+
+        valid = m_ok_rep & theta_ok & hit & final_ok & above_rep
+        frames = jnp.stack([bc2, t_normal, t_major, minor_rep, bc_mod],
+                           axis=1)                               # (F, 5, 3)
+        return frames, valid
+
+    if mesh is None:
+        frames, valid = frames_block(points, seeds_rep, rr, m_ok_rep,
+                                     above_rep)
+        return GpgCandidates(frames, valid)
+
+    # mesh-sharded: frames are independent given the replicated cloud, so
+    # shard the (seed x theta) axis over the mesh — zero collectives, the
+    # online-path analogue of the scorer's candidate-axis sharding. Frames
+    # pad to a mesh multiple (pad rows carry above_rep=False -> invalid).
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    f_pad = -(-n_frames // ndev) * ndev
+
+    def padf(a, fill=0):
+        if f_pad == n_frames:
+            return a
+        pad_block = jnp.full((f_pad - n_frames,) + a.shape[1:], fill,
+                             a.dtype)
+        return jnp.concatenate([a, pad_block])
+
+    eye_rows = jnp.broadcast_to(jnp.eye(3, dtype=rr.dtype),
+                                (f_pad - n_frames, 3, 3))
+    rr_p = jnp.concatenate([rr, eye_rows]) if f_pad > n_frames else rr
+    frames, valid = shard_map(
+        frames_block, mesh=mesh,
+        in_specs=(PartitionSpec(), PartitionSpec(axis), PartitionSpec(axis),
+                  PartitionSpec(axis), PartitionSpec(axis)),
+        out_specs=(PartitionSpec(axis), PartitionSpec(axis)),
+    )(points, padf(seeds_rep), rr_p, padf(m_ok_rep), padf(above_rep))
+    return GpgCandidates(frames[:n_frames], valid[:n_frames])
 
 
 def sample_grasps_stable_poses(sdf: sdf_lib.SdfGrid, key, stable_poses,

@@ -298,6 +298,44 @@ class TestGpgSampler:
             np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
 
 
+class TestGpgSamplerSharded:
+    def test_mesh_sharded_equals_single_device(self):
+        """Frame-axis shard_map over the 8-device mesh must reproduce the
+        single-device candidates exactly (zero collectives; num_seeds *
+        n_theta = 24 * 19 = 456 = 57 per device, pads to 64)."""
+        from pointnetgpd_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.RandomState(1)
+        n = 500
+        top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+        front = rng.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
+        side = rng.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+        pts = np.concatenate([top, front, side]).astype(np.float32)
+        pts[:, :2] -= 0.03
+        normals = np.concatenate([
+            np.tile([0, 0, 1.0], (n, 1)),
+            np.tile([0, -1.0, 0], (n, 1)),
+            np.tile([1.0, 0, 0], (n, 1)),
+        ]).astype(np.float32)
+
+        g = Gripper()
+        kw = dict(num_seeds=24, approach_steps=25)
+        base = gpg_sample_candidates(
+            jnp.asarray(pts), jnp.asarray(normals),
+            jax.random.PRNGKey(0), g, **kw)
+        sharded = gpg_sample_candidates(
+            jnp.asarray(pts), jnp.asarray(normals),
+            jax.random.PRNGKey(0), g, mesh=make_mesh(), **kw)
+        assert np.asarray(base.valid).sum() > 0
+        # per-shard XLA fusion rounds frame coordinates differently at
+        # ~1e-8, which can flip a knife-edge validity decision; candidates
+        # must otherwise agree
+        mism = np.sum(np.asarray(base.valid) != np.asarray(sharded.valid))
+        assert mism <= 2, mism
+        np.testing.assert_allclose(np.asarray(base.frames),
+                                   np.asarray(sharded.frames), atol=1e-6)
+
+
 class TestCurvatureFrames:
     """Deterministic SDF principal-curvature frames (the fix for the
     covariance estimator's eigen-lottery on isotropic neighborhoods)."""
