@@ -3,7 +3,7 @@
 The reference delegates multi-piece decomposition to trimesh's vhacd binding
 (reference: meshpy/meshpy/urdf_writer.py:76 ``convex_decomposition``); vhacd
 is a voxel-based splitter: voxelize the solid, greedily split the most
-concave voxel cluster with an axis-aligned plane, emit the convex hull of
+concave voxel cluster with a plane, emit the convex hull of
 each final cluster. We implement exactly that scheme natively — voxelization
 runs on TPU through :func:`pointnetgpd_tpu.ops.mesh_to_sdf.mesh_to_sdf`
 (already the SDFGen replacement), and the greedy plane search + hulls run on
@@ -16,9 +16,10 @@ see ops/mesh_to_sdf.py).
 Control flow mirrors vhacd's: split greedily until every cluster is within
 the concavity tolerance, then MERGE adjacent clusters back together whenever
 their union stays within tolerance (vhacd's refinement pass; the greedy
-axis-aligned splitter over-cuts, and the merge repairs the piece count).
-Remaining deviation from vhacd proper (documented, docs/QUIRKS.md):
-axis-aligned candidate planes only.
+splitter over-cuts, and the merge repairs the piece count). Candidate split
+planes cover the 3 axes plus the 6 in-plane 45-degree diagonals (vhacd
+searches a continuous normal space; the quartile x 9-direction grid is the
+discrete analogue).
 """
 
 from __future__ import annotations
@@ -83,14 +84,22 @@ class _Cluster:
         corners = (self.cells[:, None, :] + _CORNERS[None]).reshape(-1, 3)
         return np.unique(corners, axis=0) * self.res
 
+    # candidate split-plane normals: the 3 axes plus the 6 in-plane
+    # diagonals (vhacd searches a continuous normal space; this 9-direction
+    # grid covers its axis + 45-degree candidates)
+    _SPLIT_DIRS = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1],
+         [1, 1, 0], [1, -1, 0], [1, 0, 1],
+         [1, 0, -1], [0, 1, 1], [0, 1, -1]], np.float64)
+
     def split(self):
-        """Best axis-aligned split: try each axis at quartile planes of the
-        occupied cells; keep the split minimizing total child hull volume
-        (vhacd's 'minimum concavity' plane selection, restricted to
-        axis-aligned candidates)."""
+        """Best planar split: quartile planes of the occupied cells along
+        each candidate direction; keep the split minimizing total child
+        hull volume (vhacd's 'minimum concavity' plane selection over a
+        discrete normal grid)."""
         best = None
-        for axis in range(3):
-            coords = self.cells[:, axis]
+        for d in self._SPLIT_DIRS:
+            coords = self.cells @ d
             lo, hi = coords.min(), coords.max()
             if hi - lo < 1:
                 continue
@@ -126,8 +135,8 @@ def _clusters_adjacent(a: "_Cluster", b: "_Cluster") -> bool:
 def _merge_pass(clusters: list, concavity_tol: float, res: float) -> list:
     """vhacd's cluster-merge refinement: repeatedly merge the adjacent pair
     whose UNION has the lowest concavity, as long as that concavity stays
-    within tolerance. Repairs the over-cutting of the greedy axis-aligned
-    splitter (e.g. an L cut into 3 collapses back to 2)."""
+    within tolerance. Repairs the over-cutting of the greedy splitter
+    (e.g. an L cut into 3 collapses back to 2)."""
     clusters = list(clusters)
     while len(clusters) > 1:
         best = None
