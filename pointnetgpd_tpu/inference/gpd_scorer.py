@@ -84,16 +84,19 @@ class GPDScorer:
     knn_k: int = 30
 
     def score_candidates(self, pc, candidates, hand_depth, width,
-                         seed: int = 0, valid=None):
+                         seed: int = 0, valid=None, extra_fetch=None):
         cand = np.asarray(candidates, dtype=np.float32).reshape(-1, 5, 3)
         g = cand.shape[0]
         if g == 0:
-            return {"pred": np.zeros((0,), np.int32),
-                    "prob": np.zeros((0, 2), np.float32),
-                    "score": np.zeros((0,), np.float32),
-                    "counts": np.zeros((0,), np.int32),
-                    "valid": np.zeros((0,), bool),
-                    "good_indices": np.zeros((0,), np.int64)}
+            empty = {"pred": np.zeros((0,), np.int32),
+                     "prob": np.zeros((0, 2), np.float32),
+                     "score": np.zeros((0,), np.float32),
+                     "counts": np.zeros((0,), np.int32),
+                     "valid": np.zeros((0,), bool),
+                     "good_indices": np.zeros((0,), np.int64)}
+            if extra_fetch is not None:
+                return empty, jax.device_get(extra_fetch)
+            return empty
         g_pad = max(_round_up(g, self.pad_to), self.pad_to)
         cand_p = np.zeros((g_pad, 5, 3), dtype=np.float32)
         cand_p[:g] = cand
@@ -109,9 +112,16 @@ class GPDScorer:
             jnp.float32(width), jax.random.PRNGKey(seed),
             num_points=self.num_points, project_chann=self.project_chann,
             min_points=self.min_points, knn_k=self.knn_k)
-        pred, prob, counts, valid, good, order = jax.device_get(out)
+        if extra_fetch is not None:
+            (pred, prob, counts, valid, good, order), extras = \
+                jax.device_get((out, extra_fetch))
+        else:
+            pred, prob, counts, valid, good, order = jax.device_get(out)
         pred, prob, counts = pred[:g], prob[:g], counts[:g]
         valid, good = valid[:g], good[:g]
         order = order[(order < g) & good[np.minimum(order, g - 1)]][:g]
-        return {"pred": pred, "prob": prob, "score": prob[:, 1],
-                "counts": counts, "valid": valid, "good_indices": order}
+        result = {"pred": pred, "prob": prob, "score": prob[:, 1],
+                  "counts": counts, "valid": valid, "good_indices": order}
+        if extra_fetch is not None:
+            return result, extras
+        return result
