@@ -107,17 +107,22 @@ def main():
               f"loss {loss0:.3f} -> {loss:.3f}")
 
     # -- 4. deploy: GPG candidates + batched scorer -------------------------
+    # camera-visible box faces (top + two sides): GPG acceptance needs
+    # side-visible seeds (docs/QUIRKS.md downward-guard entry)
     rng = np.random.RandomState(0)
     n = 2000
-    top = rng.rand(n, 3) * [0.06, 0.06, 0] + [-0.03, -0.03, 0.06]
-    front = rng.rand(n, 3) * [0.06, 0, 0.06] + [-0.03, -0.03, 0.0]
-    pts = np.concatenate([top, front]).astype(np.float32)
+    top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+    front = rng.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
+    side = rng.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+    pts = np.concatenate([top, front, side]).astype(np.float32)
+    pts[:, :2] -= 0.03
     normals = np.concatenate([
         np.tile([0, 0, 1.0], (n, 1)), np.tile([0, -1.0, 0], (n, 1)),
+        np.tile([1.0, 0, 0], (n, 1)),
     ]).astype(np.float32)
     cands = gpg_sample_candidates(jnp.asarray(pts), jnp.asarray(normals),
                                   jax.random.PRNGKey(3), Gripper(),
-                                  num_seeds=16)
+                                  num_seeds=32)
     frames = np.asarray(cands.frames)[np.asarray(cands.valid)]
     scorer = GraspScorer(params=state.params, state=state.bn_state, k=3,
                          num_points=128, pad_to=32, min_points=10)

@@ -260,3 +260,22 @@ def test_detector_accepts_gpd_scorer():
     res = det.process_frame(pts, cam_pos=np.array([0.5, 0, 0.5]))
     assert res["all_frames"].shape[0] == res["all_scores"].shape[0]
     assert np.isfinite(res["all_scores"]).all()
+
+
+class TestWarmup:
+    def test_warmup_compiles_each_bucket(self):
+        from pointnetgpd_tpu.inference.scorer import GraspScorer
+        from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+        from pointnetgpd_tpu.robot.node import DetectorConfig, GraspDetector
+
+        params, state = init_pointnet_cls(jax.random.PRNGKey(0),
+                                          input_chann=3, k=3)
+        scorer = GraspScorer(params=params, state=state, k=3, num_points=64,
+                             pad_to=16)
+        det = GraspDetector(
+            scorer, config=DetectorConfig(
+                num_grasps=8, max_num_samples=8, input_points_num=64,
+                repeat=1, minimal_points_send_to_point_net=5,
+                cloud_pad_to=512))
+        buckets = det.warmup(max_points=1024)
+        assert buckets == [512, 1024]
