@@ -298,18 +298,17 @@ def gpg_sample_candidates(
     # Morton-order the seeds so consecutive seeds are spatially close: the
     # Pallas scan kernel prunes cloud tiles per 128-frame block against the
     # block's seed bounding sphere, and randomly-ordered seeds would make
-    # every block span the whole scene (no pruning). Selection is unchanged
-    # — this only permutes the candidate output order.
-    sxyz = points[seed_idx]
-    lo_s = jnp.min(sxyz, axis=0)
-    hi_s = jnp.max(sxyz, axis=0)
-    q = jnp.clip((sxyz - lo_s) / jnp.maximum(hi_s - lo_s, 1e-9) * 1023.0,
-                 0.0, 1023.0).astype(jnp.uint32)
-    code = jnp.zeros(seed_idx.shape, jnp.uint32)
-    for b in range(10):
-        for a in range(3):
-            code = code | (((q[:, a] >> b) & 1) << (3 * b + a))
-    seed_idx = seed_idx[jnp.argsort(code)]
+    # every block span the whole scene (no pruning). The outputs are
+    # permuted BACK to the random selection order at the end — downstream
+    # consumers truncate to the first N valid candidates (node.py), and a
+    # spatially sorted order would hand every slot to one corner of the
+    # scene.
+    from ..ops.cloud import morton_codes
+
+    code = morton_codes(points[seed_idx])
+    morton_perm = jnp.argsort(code)
+    unsort = jnp.argsort(morton_perm)     # inverse permutation (seed axis)
+    seed_idx = seed_idx[morton_perm]
 
     thetas = jnp.arange(-range_dtheta, range_dtheta + 1, dtheta_deg,
                         dtype=dtype) / 180.0 * jnp.pi
@@ -481,10 +480,16 @@ def gpg_sample_candidates(
                            axis=1)                               # (F, 5, 3)
         return frames, valid
 
+    def unsort_out(frames, valid):
+        """Morton order -> original random seed order (seed-major layout)."""
+        f5 = frames.reshape(num_seeds, n_theta, 5, 3)[unsort]
+        v2 = valid.reshape(num_seeds, n_theta)[unsort]
+        return GpgCandidates(f5.reshape(-1, 5, 3), v2.reshape(-1))
+
     if mesh is None:
         frames, valid = frames_block(points, seeds_rep, rr, m_ok_rep,
                                      above_rep)
-        return GpgCandidates(frames, valid)
+        return unsort_out(frames, valid)
 
     # mesh-sharded: frames are independent given the replicated cloud, so
     # shard the (seed x theta) axis over the mesh — zero collectives, the
@@ -513,7 +518,7 @@ def gpg_sample_candidates(
                   PartitionSpec(axis), PartitionSpec(axis)),
         out_specs=(PartitionSpec(axis), PartitionSpec(axis)),
     )(points, padf(seeds_rep), rr_p, padf(m_ok_rep), padf(above_rep))
-    return GpgCandidates(frames[:n_frames], valid[:n_frames])
+    return unsort_out(frames[:n_frames], valid[:n_frames])
 
 
 def sample_grasps_stable_poses(sdf: sdf_lib.SdfGrid, key, stable_poses,

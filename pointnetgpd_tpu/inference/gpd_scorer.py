@@ -85,7 +85,15 @@ class GPDScorer:
 
     def score_candidates(self, pc, candidates, hand_depth, width,
                          seed: int = 0, valid=None, extra_fetch=None):
-        cand = np.asarray(candidates, dtype=np.float32).reshape(-1, 5, 3)
+        on_device = isinstance(candidates, jax.Array)
+        if on_device:
+            # device fast path (same contract as GraspScorer): the online
+            # pipeline's candidates never leave the chip — np.asarray-ing
+            # them here would block on per-array host round trips and
+            # defeat the caller's single extra_fetch transfer
+            cand = candidates.reshape(-1, 5, 3).astype(jnp.float32)
+        else:
+            cand = np.asarray(candidates, dtype=np.float32).reshape(-1, 5, 3)
         g = cand.shape[0]
         if g == 0:
             empty = {"pred": np.zeros((0,), np.int32),
@@ -98,13 +106,21 @@ class GPDScorer:
                 return empty, jax.device_get(extra_fetch)
             return empty
         g_pad = max(_round_up(g, self.pad_to), self.pad_to)
-        cand_p = np.zeros((g_pad, 5, 3), dtype=np.float32)
-        cand_p[:g] = cand
-        cand_p[g:, 1] = [1, 0, 0]
-        cand_p[g:, 2] = [0, 1, 0]
-        cand_p[g:, 3] = [0, 0, 1]
-        valid_in = np.zeros((g_pad,), bool)
-        valid_in[:g] = True if valid is None else np.asarray(valid, bool)
+        pad_frame = np.zeros((g_pad - g, 5, 3), np.float32)
+        pad_frame[:, 1] = [1, 0, 0]
+        pad_frame[:, 2] = [0, 1, 0]
+        pad_frame[:, 3] = [0, 0, 1]
+        if on_device:
+            cand_p = jnp.concatenate([cand, jnp.asarray(pad_frame)]) \
+                if g_pad > g else cand
+            valid_in = jnp.arange(g_pad) < g
+            if valid is not None:
+                valid_in = valid_in & jnp.pad(jnp.asarray(valid, bool),
+                                              (0, g_pad - g))
+        else:
+            cand_p = np.concatenate([cand, pad_frame])
+            valid_in = np.zeros((g_pad,), bool)
+            valid_in[:g] = True if valid is None else np.asarray(valid, bool)
 
         out = score_candidates_gpd(
             self.params, jnp.asarray(pc, jnp.float32), jnp.asarray(cand_p),

@@ -67,10 +67,29 @@ def voxel_downsample_packed(points, n_grid: int = 500, pad_value=-1e6):
     return packed, count
 
 
+def morton_codes(points, bits: int = 10):
+    """(N, 3) points -> (N,) uint32 Morton (Z-order) codes over the points'
+    own bounding box. Sorting by the code makes consecutive elements
+    spatially close — used for the GPG seed blocks (tile pruning) and the
+    voxelizer's triangle supertiles. jnp; works traced or concrete."""
+    points = jnp.asarray(points)
+    lo = jnp.min(points, axis=0)
+    hi = jnp.max(points, axis=0)
+    span = jnp.maximum(hi - lo, 1e-12)
+    top = float(2 ** bits - 1)
+    q = jnp.clip((points - lo) / span * top, 0.0, top).astype(jnp.uint32)
+    code = jnp.zeros(points.shape[:1], jnp.uint32)
+    for b in range(bits):
+        for a in range(3):
+            code = code | (((q[:, a] >> b) & 1) << (3 * b + a))
+    return code
+
+
 def _eberly_shifted(a):
     """Shared Eberly conditioning: shift by the mean eigenvalue, scale to
     O(1). Returns (b, p, phi, scale, tiny) with eigenvalues of ``b`` equal
-    to 2p cos(phi + 2 pi k / 3), k in {0 (largest), 2 (smallest)}."""
+    to 2p cos(phi + 2 pi k / 3): k=0 the largest, k=1 the smallest, k=2
+    the middle (phi lies in [0, pi/3])."""
     eye = jnp.eye(3, dtype=a.dtype)
     q = jnp.trace(a, axis1=-2, axis2=-1)[..., None, None] / 3.0
     a_c = a - q * eye
@@ -121,12 +140,33 @@ def extreme_eigvecs_sym3x3(a):
     """Closed-form (least, greatest)-eigenvalue eigenvectors of batched
     symmetric 3x3 matrices — the GPG local frame's (minor, normal) pair
     (grasp_sampler.py:1486-1500 takes eigh columns 0 and 2). Signs
-    arbitrary; isotropic inputs return ([0,0,1], [1,0,0])."""
+    arbitrary. The pair is guaranteed ORTHONORMAL like eigh's columns:
+    for a repeated extreme eigenvalue (e.g. an exactly rank-1 covariance
+    from identical neighbor normals) the independent per-vector fallbacks
+    could otherwise return parallel vectors, and downstream
+    cross(minor, normal) frames would degenerate to zero."""
     b, p, phi, scale, tiny = _eberly_shifted(a)
     lam_min = 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
     lam_max = 2.0 * p * jnp.cos(phi)
-    return (_eigvec_for(b, lam_min, scale, tiny, 2),
-            _eigvec_for(b, lam_max, scale, tiny, 0))
+    v_min = _eigvec_for(b, lam_min, scale, tiny, 2)
+    v_max = _eigvec_for(b, lam_max, scale, tiny, 0)
+    # Gram-Schmidt v_min against v_max: exact eigenvectors of a symmetric
+    # matrix are already orthogonal (no-op); degenerate fallbacks are not
+    v_min = v_min - jnp.sum(v_min * v_max, axis=-1, keepdims=True) * v_max
+    n = jnp.linalg.norm(v_min, axis=-1, keepdims=True)
+    # still parallel: any unit vector orthogonal to v_max (cross with the
+    # axis v_max is least aligned with)
+    axis = jnp.zeros_like(v_max)
+    least = jnp.argmin(jnp.abs(v_max), axis=-1)
+    axis = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.eye(3, dtype=a.dtype),
+                         v_max.shape[:-1] + (3, 3)),
+        least[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    alt = jnp.cross(v_max, axis)
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True),
+                            tiny)
+    v_min = jnp.where(n < 1e-6, alt, v_min / jnp.maximum(n, tiny))
+    return v_min, v_max
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "exact"))

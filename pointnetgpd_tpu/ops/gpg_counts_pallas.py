@@ -338,12 +338,6 @@ def gpg_scan_counts_jnp(points, seeds, rot_rows, fixed_shift, scan_shifts,
     return out.reshape(-1, ns, 4)[:f].astype(jnp.int32)
 
 
-def gpg_scan_counts(points, seeds, rot_rows, fixed_shift, scan_shifts,
-                    boxes, *, scan_is_y: bool, frame_chunk: int = 128):
-    """Dispatch: Pallas kernel on TPU, chunked jnp elsewhere."""
-    if jax.default_backend() == "tpu":
-        return gpg_scan_counts_pallas(points, seeds, rot_rows, fixed_shift,
-                                      scan_shifts, boxes, scan_is_y=scan_is_y)
-    return gpg_scan_counts_jnp(points, seeds, rot_rows, fixed_shift,
-                               scan_shifts, boxes, scan_is_y=scan_is_y,
-                               frame_chunk=frame_chunk)
+# (no module-level dispatcher on purpose: the one consumer —
+# grasping/samplers.frames_block — must reuse ONE GpgScanContext across its
+# three scans, which a stateless dispatch function would rebuild 3x)

@@ -50,16 +50,12 @@ _EPS = 1.0e-30
 
 
 def morton_order(centroids: np.ndarray, bits: int = 10) -> np.ndarray:
-    """Sort order by Morton code of quantized 3-D positions (host-side)."""
-    c = np.asarray(centroids, np.float64)
-    lo, hi = c.min(axis=0), c.max(axis=0)
-    span = np.maximum(hi - lo, 1e-12)
-    q = np.minimum(((c - lo) / span * (2 ** bits - 1)).astype(np.uint64),
-                   2 ** bits - 1)
-    code = np.zeros(len(c), np.uint64)
-    for b in range(bits):
-        for axis in range(3):
-            code |= ((q[:, axis] >> np.uint64(b)) & np.uint64(1)) << np.uint64(3 * b + axis)
+    """Sort order by Morton code of quantized 3-D positions (host-side;
+    shared encode: ops/cloud.py morton_codes)."""
+    from .cloud import morton_codes
+
+    code = np.asarray(morton_codes(np.asarray(centroids, np.float32),
+                                   bits=bits))
     return np.argsort(code, kind="stable")
 
 

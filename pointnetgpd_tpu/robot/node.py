@@ -63,6 +63,11 @@ class DetectorConfig:
     # (the voxel count is different every frame; an unpadded P recompiles
     # normals + sampler + scorer each time, ~30-70 s on a cold chip)
     cloud_pad_to: int = 8192
+    # pad the RAW input cloud the same way (by repeating a point, which
+    # lands in an existing voxel and changes nothing) — the jitted voxel
+    # downsample otherwise recompiles for every distinct raw frame size.
+    # None: use cloud_pad_to (then warmup() covers both bucket families).
+    raw_pad_to: int | None = None
 
 
 class GraspDetector:
@@ -79,9 +84,14 @@ class GraspDetector:
 
     def warmup(self, max_points: int, cam_pos=(1.0, 1.0, 1.0)):
         """Pre-compile the pipeline for every cloud size bucket up to
-        ``max_points``. First compiles cost 30-70 s each on a cold chip;
-        a robot node calls this once before subscribing so no live frame
-        pays them. Returns the list of bucket sizes compiled."""
+        ``max_points`` (raw points per frame). First compiles cost 30-70 s
+        each on a cold chip; a robot node calls this once before
+        subscribing so no live frame pays them. With the default
+        ``raw_pad_to`` (== cloud_pad_to) each warmup iteration compiles
+        both the raw-bucket downsample program and the cloud-bucket
+        normals/sampler/scorer programs, so any live frame up to
+        ``max_points`` raw points hits only compiled shapes. Returns the
+        list of bucket sizes compiled."""
         rng = np.random.RandomState(0)
         buckets = list(range(self.cfg.cloud_pad_to,
                              max_points + self.cfg.cloud_pad_to,
@@ -105,6 +115,17 @@ class GraspDetector:
         needed — it is deliberately not pulled through the relay here)."""
         cfg = self.cfg
         points = np.asarray(points, np.float32)
+
+        # pad the RAW cloud to a size bucket by repeating the first point
+        # (same voxel -> downsample result unchanged): the jitted downsample
+        # compiles per raw shape, and live frames all have different sizes
+        raw_pad = cfg.raw_pad_to or cfg.cloud_pad_to
+        n_raw = len(points)
+        if n_raw > 0:
+            raw_bucket = -(-n_raw // raw_pad) * raw_pad
+            if raw_bucket > n_raw:
+                points = np.concatenate(
+                    [points, np.repeat(points[:1], raw_bucket - n_raw, 0)])
 
         # voxel downsample, compacted ON DEVICE (kinect2grasp.py:102-127);
         # only the 4-byte count crosses the relay, not the cloud

@@ -257,3 +257,40 @@ class TestDegenerateInputs:
                                       max_width=0.08)
         assert out.configs.shape == (256, 10)
         assert not np.asarray(out.valid).any()
+
+
+class TestExtremeEigvecs:
+    def test_orthonormal_pair_on_random(self):
+        from pointnetgpd_tpu.ops.cloud import extreme_eigvecs_sym3x3
+
+        rng = np.random.RandomState(0)
+        b = rng.randn(64, 3, 5).astype(np.float32)
+        m = jnp.asarray(np.einsum("nik,njk->nij", b, b))
+        vmin, vmax = extreme_eigvecs_sym3x3(m)
+        vmin, vmax = np.asarray(vmin), np.asarray(vmax)
+        np.testing.assert_allclose(np.linalg.norm(vmin, axis=-1), 1, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(vmax, axis=-1), 1, atol=1e-5)
+        np.testing.assert_allclose(np.abs(np.sum(vmin * vmax, axis=-1)), 0,
+                                   atol=1e-4)
+        # match eigh's extreme eigenvectors up to sign
+        w, v = np.linalg.eigh(np.asarray(m))
+        for i in range(64):
+            assert abs(abs(np.dot(vmin[i], v[i, :, 0])) - 1) < 1e-3
+            assert abs(abs(np.dot(vmax[i], v[i, :, 2])) - 1) < 1e-3
+
+    def test_rank_one_stays_orthonormal(self):
+        """Identical neighbor normals -> exactly rank-1 covariance: the
+        (minor, normal) pair must still be orthonormal (a parallel fallback
+        pair would zero out the GPG frame's major = cross(minor, normal))."""
+        from pointnetgpd_tpu.ops.cloud import extreme_eigvecs_sym3x3
+
+        for n in ([0.0, 0.0, 1.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0],
+                  [0.6, 0.0, 0.8]):
+            nv = np.asarray(n, np.float32)
+            m = jnp.asarray(30.0 * np.outer(nv, nv)[None])
+            vmin, vmax = extreme_eigvecs_sym3x3(m)
+            vmin, vmax = np.asarray(vmin)[0], np.asarray(vmax)[0]
+            assert abs(np.linalg.norm(vmin) - 1) < 1e-5
+            assert abs(abs(np.dot(vmax, nv)) - 1) < 1e-4  # normal recovered
+            assert abs(np.dot(vmin, vmax)) < 1e-4         # orthogonal
+            assert np.linalg.norm(np.cross(vmin, vmax)) > 0.99

@@ -411,3 +411,42 @@ class TestCurvatureFrames:
                                     num_seeds=8, max_surface_points=256,
                                     camera_pos=(0.0, 0.0, 1.0))
         assert out.frames.shape[0] == 0 and out.valid.shape[0] == 0
+
+
+class TestGpgOutputOrderUnbiased:
+    def test_valid_candidates_span_clusters(self):
+        """The Morton sort used for kernel tile pruning must NOT leak into
+        the output order: consumers truncate to the first N valid
+        candidates (node.py), and a spatially sorted order would give every
+        slot to one corner of the scene. With the unsort in place, the
+        first half of the valid candidates must span multiple clusters."""
+        rng = np.random.RandomState(0)
+        objs, nrms = [], []
+        for cx, cy in ((-0.25, -0.15), (0.2, 0.25), (0.05, -0.3)):
+            n = 700
+            top = rng.rand(n, 3) * [0.06, 0.06, 0] + [cx, cy, 0.08]
+            front = rng.rand(n, 3) * [0.06, 0, 0.06] + [cx, cy, 0.02]
+            side = rng.rand(n, 3) * [0, 0.06, 0.06] + [cx + 0.06, cy, 0.02]
+            objs.append(np.concatenate([top, front, side]).astype(np.float32))
+            nrms.append(np.concatenate([
+                np.tile([0, 0, 1.0], (n, 1)),
+                np.tile([0, -1.0, 0], (n, 1)),
+                np.tile([1.0, 0, 0], (n, 1))]).astype(np.float32))
+        pts = np.concatenate(objs)
+        normals = np.concatenate(nrms)
+
+        out = gpg_sample_candidates(
+            jnp.asarray(pts), jnp.asarray(normals), jax.random.PRNGKey(0),
+            Gripper(), num_seeds=96, approach_steps=25)
+        valid = np.asarray(out.valid)
+        frames = np.asarray(out.frames)[valid]
+        assert len(frames) >= 8
+        # cluster id of each valid candidate's bottom center (by nearest
+        # object center in xy)
+        centers = np.array([[-0.22, -0.12], [0.23, 0.28], [0.08, -0.27]])
+        first = frames[: max(4, len(frames) // 2), 0, :2]
+        cid = np.argmin(
+            np.linalg.norm(first[:, None] - centers[None], axis=-1), axis=1)
+        assert len(np.unique(cid)) >= 2, (
+            "first valid candidates all in one cluster: output order is "
+            "spatially sorted")
