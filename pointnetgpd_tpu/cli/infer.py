@@ -60,12 +60,22 @@ def load_scorer(args):
             path, ref_paths=ref_paths, num_points=args.num_point,
             repeat=args.repeat)
     # orbax TrainState checkpoint
+    import os
+
     import jax
 
     from ..models.pointnet import init_pointnet_cls
-    from ..training.checkpoint import restore_checkpoint
+    from ..training.checkpoint import latest_checkpoint, restore_checkpoint
     from ..training.train import init_train_state, make_optimizer
 
+    # accept the train CLI's --model-path directory directly: resolve to
+    # its newest step_N checkpoint (cli/train.py writes step_N subdirs)
+    if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "_METADATA")):
+        resolved = latest_checkpoint(path)
+        if resolved is not None:
+            print(f"resolved {path} -> {resolved}")
+            path = resolved
     params, bn = init_pointnet_cls(jax.random.PRNGKey(0), input_chann=3,
                                    k=args.k)
     template = init_train_state(params, bn, make_optimizer())

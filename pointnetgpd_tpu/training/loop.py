@@ -161,6 +161,10 @@ class Trainer:
                 loss = float(metrics["loss"])
                 self.logger.scalar("train_loss", loss,
                                    epoch * cfg.steps_per_epoch + step)
+                # progress line like the reference's per-interval print
+                # (main_1v.py:77-83); scalars also land in tensorboard/jsonl
+                print(f"Train Epoch: {epoch} [{step}/{cfg.steps_per_epoch}]"
+                      f"\tLoss: {loss:.6f}", flush=True)
             acc_sum += float(metrics["acc"])
             loss_sum += float(metrics["loss"])
         return acc_sum / cfg.steps_per_epoch, loss_sum / cfg.steps_per_epoch
@@ -225,6 +229,12 @@ class Trainer:
             if eval_acc is not None:
                 self.logger.scalar("test_acc", eval_acc, epoch)
                 self.logger.scalar("test_loss", eval_loss, epoch)
+                print(f"Epoch {epoch}: train_acc={train_acc:.4f} "
+                      f"test_acc={eval_acc:.4f} test_loss={eval_loss:.4f}",
+                      flush=True)
+            else:
+                print(f"Epoch {epoch}: train_acc={train_acc:.4f} "
+                      f"train_loss={train_loss:.4f}", flush=True)
             if epoch % cfg.save_interval == 0:
                 ckpt_lib.save_checkpoint(cfg.model_path, self.state)
         return self.state

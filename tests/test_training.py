@@ -296,3 +296,31 @@ def test_checkpoint_resume_round_trip():
     tr2.cfg = TrainConfig(**{**cfg.__dict__, "epochs": 3})
     tr2.fit()
     assert int(tr2.state.step) == 3 * cfg.steps_per_epoch
+
+
+def test_infer_cli_resolves_checkpoint_dir(tmp_path, capsys):
+    """`--load-model <train --model-path dir>` must resolve to the newest
+    step_N checkpoint (the train CLI writes step_N subdirs; requiring the
+    user to name one was a UX trap found by driving the CLIs)."""
+    import numpy as np
+
+    from pointnetgpd_tpu.cli.infer import load_scorer, build_parser
+    from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+    from pointnetgpd_tpu.training import checkpoint as ckpt_lib
+    from pointnetgpd_tpu.training.train import (init_train_state,
+                                                make_optimizer)
+
+    params, bn = init_pointnet_cls(jax.random.PRNGKey(0), input_chann=3, k=3)
+    tx = make_optimizer()
+    state = init_train_state(params, bn, tx)
+    ckpt_lib.save_checkpoint(str(tmp_path / "ck"), state)          # step_0
+    ckpt_lib.save_checkpoint(str(tmp_path / "ck"),
+                             state._replace(step=state.step + 4))  # step_4
+
+    args = build_parser().parse_args(
+        ["--load-model", str(tmp_path / "ck"), "--k", "3"])
+    scorer = load_scorer(args)
+    assert "step_4" in capsys.readouterr().out
+    pred, prob, _ = scorer.score_clouds(
+        np.random.RandomState(0).rand(1, 500, 3).astype(np.float32))
+    assert np.isfinite(prob).all()
