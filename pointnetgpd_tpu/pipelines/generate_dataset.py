@@ -150,6 +150,11 @@ def main(argv=None):
     gripper = Gripper.named(args.gripper)
     file_dir = os.path.join(args.data_root,
                             "PointNetGPD/data/ycb-tools/models/ycb")
+    if not os.path.isdir(file_dir):
+        p.error(
+            f"no YCB object models at {file_dir!r} — point --data-root (or "
+            "$PointNetGPD_FOLDER) at a directory containing "
+            "PointNetGPD/data/ycb-tools/models/ycb (the reference's layout)")
     objects = sorted(
         os.path.join(file_dir, d) for d in os.listdir(file_dir)
         if os.path.isdir(os.path.join(file_dir, d)))

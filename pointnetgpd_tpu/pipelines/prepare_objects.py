@@ -84,7 +84,12 @@ def main(argv=None):
     p.add_argument("--overwrite", action="store_true")
     args = p.parse_args(argv)
     root = os.path.join(args.data_root, "PointNetGPD/data/ycb-tools/models/ycb")
-    for obj_dir in sorted(glob.glob(f"{root}/*/")):
+    obj_dirs = sorted(glob.glob(f"{root}/*/"))
+    if not obj_dirs:
+        p.error(
+            f"no object directories under {root!r} — point --data-root (or "
+            "$PointNetGPD_FOLDER) at the reference's YCB layout")
+    for obj_dir in obj_dirs:
         out = prepare_object_dir(obj_dir, sdf_dim=args.sdf_dim,
                                  sdf_padding=args.sdf_padding,
                                  overwrite=args.overwrite)

@@ -218,7 +218,12 @@ def main(argv=None):
     # failed frames are appended to exception.txt, like the reference's
     # bad-frame log (PointNetGPD/exception.txt)
     exc_path = os.path.join(args.data_root or ".", "exception.txt")
-    for jpg in sorted(glob.glob(f"{folder}/*/rgbd/*.jpg")):
+    jpgs = sorted(glob.glob(f"{folder}/*/rgbd/*.jpg"))
+    if not jpgs:
+        p.error(
+            f"no RGB-D frames under {folder!r} — point --data-root (or "
+            "$PointNetGPD_FOLDER) at the reference's YCB layout")
+    for jpg in jpgs:
         parts = jpg.split("/")
         obj = parts[-3]
         cam, angle = os.path.basename(jpg).split(".")[0].split("_")
@@ -230,7 +235,7 @@ def main(argv=None):
         except Exception as e:
             with open(exc_path, "a") as f:
                 f.write(f"{jpg}: {e}\n")
-    print("All frames done.")
+    print(f"All {len(jpgs)} frames done.")
 
 
 if __name__ == "__main__":
