@@ -131,3 +131,37 @@ def generate_gqcnn_dataset(dataset, output_dir: str, *,
                     out.add(dp)
     out.flush()
     return out
+
+
+def main(argv=None):
+    """CLI counterpart of the reference's tools/generate_gqcnn_dataset.py:
+    render every stored grasp of an HDF5 database into a TensorDataset."""
+    import argparse
+
+    from ..database.hdf5 import Hdf5Database
+
+    p = argparse.ArgumentParser(
+        description="render HDF5 database grasps into a GQ-CNN TensorDataset")
+    p.add_argument("database", help="HDF5 database path")
+    p.add_argument("dataset", help="dataset name inside the database")
+    p.add_argument("output_dir")
+    p.add_argument("--gripper", default="robotiq_85")
+    p.add_argument("--metric", default="robust_ferrari_canny")
+    p.add_argument("--im-size", type=int, default=32)
+    args = p.parse_args(argv)
+
+    db = Hdf5Database(args.database)
+    try:
+        ds = db.dataset(args.dataset)
+        out = generate_gqcnn_dataset(ds, args.output_dir,
+                                     gripper_name=args.gripper,
+                                     metric_name=args.metric,
+                                     im_size=args.im_size)
+        print(f"wrote {out.num_datapoints} datapoints to {args.output_dir}")
+    finally:
+        db.close()
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,14 @@ class TestGqcnnDataset:
         assert dp["hand_poses"].shape == (4,)
         db.close()
 
+        # CLI main over the same database (tools/generate_gqcnn_dataset.py
+        # counterpart)
+        from pointnetgpd_tpu.pipelines.gqcnn_dataset import main as gq_main
+
+        gq_main([str(tmp_path / "g.hdf5"), "d", str(tmp_path / "gqcnn_cli")])
+        cli_out = TensorDataset.open(str(tmp_path / "gqcnn_cli"))
+        assert len(cli_out) > 0
+
 
 class TestImageConverter:
     def test_extrusion_watertight(self):
