@@ -137,30 +137,41 @@ def crop_closing_region(
 #   - lax.top_k over (G, P) with k=num_out (~11 ms on a v5e chip), and
 #   - the (G, num_out) gather out of the per-candidate (G, P, 3) transformed
 #     cloud (~4 ms, plus materializing 123 MB of pc_t).
-# _crop_batch replaces them with an exact two-stage selection:
-#   1. assign point i to segment i % SEG (a strided interleave applied ONCE
-#      to the (P, 4) cloud via a constant-index gather — depth-camera clouds
-#      are spatially ordered, so in-region points cluster into contiguous
-#      index runs, and the stride spreads every run evenly over all
-#      segments; a random shuffle would too, but costs a 20k argsort +
-#      gather per cloud, which doubled the fused train step's time, and
-#      permuting the (G, P) key matrix instead costs a 41 MB minor-dim
-#      transpose per scene, measured +15% on the scene program),
-#   2. per-segment top-L over (G, SEG, P/SEG) — cheap because L << num_out,
-#   3. exact top-k over the (G, SEG*L) survivors.
-# This is exact whenever no segment holds more than L of the top-num_out
-# masked keys. The keys are iid uniform, so the top-num_out spread over
-# segments in proportion to each segment's masked count; with run-structured
-# masks the stride balances those counts, and the per-segment share is
-# Poisson(num_out/SEG) — L=128 is 8+ sigma above it (~1e-12 tail). The one
-# pattern that breaks the balance is a mask aligned to the stride itself
-# (in-region points at exactly every SEG-th index) — not a pattern scan- or
-# randomly-ordered clouds produce.
-# Points are gathered from the SHARED (P, 4)-padded cloud and transformed
-# into each grasp frame only after selection (num_out, not P, per grasp).
+# _crop_batch picks one of three EXACT selection strategies:
+#
+#   PREFIX RANK-SELECT (many candidates sharing one cloud — the scene
+#   path): shuffle the cloud once per call (uniform-without-replacement ==
+#   the first num_out in-region points in a random order), then find the
+#   t-th in-region point by RANK instead of by sorting keys: an inclusive
+#   prefix sum over the mask, per-128-block last-element totals, a compare
+#   layer locating each target's block, one contiguous 128-row gather, and
+#   a compare layer for the in-block offset. Replaces the ~8 ms top_k
+#   selection (~0.9 ns/key over 10M keys) with a cumsum plus ~50M cheap
+#   VPU compares; the with-replacement branch draws ranks uniformly in
+#   [1, count] through the same machinery. The shuffle's 20k argsort
+#   amortizes over the candidate axis — which is why the per-sample
+#   training path (G=1 per cloud) does NOT use this scheme.
+#
+#   TWO-STAGE TOP-K (few candidates, big cloud — the training path):
+#   strided-interleave the cloud once with a constant index (segment s =
+#   points s, s+SEG, ...; depth-camera clouds are spatially ordered, so
+#   in-region runs spread evenly over segments), per-segment top-L over
+#   (G, SEG, P/SEG), exact top-k over the SEG*L survivors. Exact whenever
+#   no segment holds more than L of the top-num_out keys — per-segment
+#   share is Poisson(num_out/SEG), L=128 is 8+ sigma above it (~1e-12
+#   tail); the only breaking pattern is a mask aligned to the stride
+#   itself, which scan-ordered clouds do not produce.
+#
+#   DIRECT TOP-K (small clouds): one batched top_k is already cheap.
+#
+# In all cases points are gathered from the SHARED (P, 4)-padded cloud and
+# transformed into each grasp frame only after selection (num_out, not P,
+# per grasp).
 
-_SEG = 16                 # selection segments (stage-1 fan-in)
+_SEG = 16                 # selection segments (two-stage stage-1 fan-in)
 _DIRECT_TOPK_MAX = 4096   # below this, one batched top_k is already cheap
+_PREFIX_MIN_G = 32        # candidates needed to amortize the scene shuffle
+_BLK = 128                # rank-select block width
 
 
 def _rbg_key(key):
@@ -190,6 +201,56 @@ def _to_frames(pts, centers, rot_rows):
     return jnp.stack(y, axis=-1)
 
 
+def _crop_batch_prefix(pc4, centers, rot_rows, box_lo, box_hi,
+                       num_out: int, k1, k2):
+    """Shuffle + prefix-sum rank-select (see the strategy comment above).
+
+    pc4: (P, 4) padded cloud shared by all G grasps. Exact semantics:
+    uniform without replacement when count > num_out (the first num_out
+    in-region points of a uniformly shuffled cloud), with replacement
+    otherwise (uniform ranks in [1, count])."""
+    g = centers.shape[0]
+    p_total = pc4.shape[0]
+
+    perm = jax.random.permutation(k1, p_total)
+    pcs = jnp.take(pc4, perm, axis=0)
+    p_pad = -(-p_total // _BLK) * _BLK
+    if p_pad > p_total:  # pad rows far away: outside every crop box
+        pcs = jnp.pad(pcs, ((0, p_pad - p_total), (0, 0)),
+                      constant_values=1e9)
+
+    frame = _to_frames(pcs[None, :, :3], centers, rot_rows)   # (G, P', 3)
+    mask = jnp.all((frame > box_lo[:, None]) & (frame < box_hi[:, None]),
+                   axis=-1)                                   # (G, P')
+    count = jnp.sum(mask, axis=-1)                            # (G,)
+
+    prefix = jnp.cumsum(mask.astype(jnp.int32), axis=1)       # (G, P')
+    nb = p_pad // _BLK
+    pref_blocks = prefix.reshape(g, nb, _BLK)
+    incl = pref_blocks[..., -1]                               # (G, NB)
+
+    # target ranks, 1-based: without replacement 1..num_out; with
+    # replacement num_out uniform draws from [1, count] (dataset.py:263-268)
+    r = jax.random.randint(k2, (g, num_out), 0,
+                           jnp.maximum(count, 1)[:, None])
+    t = jnp.where((count > num_out)[:, None],
+                  jnp.arange(1, num_out + 1, dtype=jnp.int32)[None, :],
+                  r.astype(jnp.int32) + 1)                    # (G, num_out)
+
+    # block of the t-th in-region point: #blocks whose inclusive total < t
+    blk = jnp.sum((incl[:, None, :] < t[:, :, None]), axis=-1)
+    blk = jnp.minimum(blk, nb - 1)
+    # whole-row gather (slice_sizes (1, BLK)) — an element-broadcast
+    # take_along_axis here lowers to 49M scalar gathers (measured 35x
+    # slower than the whole scene program)
+    sel = jax.vmap(lambda pb, b: pb[b])(pref_blocks, blk)     # (G, N, BLK)
+    off = jnp.sum(sel < t[..., None], axis=-1)                # (G, num_out)
+    idx = jnp.minimum(blk * _BLK + off, p_pad - 1)
+
+    sel_pts = jnp.take(pcs, idx, axis=0)[..., :3]             # (G, N, 3)
+    return _to_frames(sel_pts, centers, rot_rows), count
+
+
 def _crop_batch(pc, centers, rot_rows, box_lo, box_hi, num_out: int, key):
     """Batched crop+resample for all grasps in one pass.
 
@@ -205,6 +266,10 @@ def _crop_batch(pc, centers, rot_rows, box_lo, box_hi, num_out: int, key):
 
     # pad to 4 columns up front: rows gather ~1.5x faster than (P, 3)
     pc4 = jnp.pad(pc, ((0, 0), (0, 1)))
+
+    if g >= _PREFIX_MIN_G and p_total > _DIRECT_TOPK_MAX:
+        return _crop_batch_prefix(pc4, centers, rot_rows, box_lo, box_hi,
+                                  num_out, k1, k2)
 
     two_stage = p_total > _DIRECT_TOPK_MAX
     if two_stage:

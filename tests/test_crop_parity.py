@@ -228,3 +228,86 @@ def test_online_crop_box_semantics():
     # x=0.01 and x=0.05 are inside; x=-0.01 (behind) and x=0.09 (too deep) not
     assert int(counts[0]) == 2
     assert bool(valid[0])
+
+
+class TestPrefixRankSelect:
+    """The scene-path selection strategy (G >= 32 candidates, P > 4096):
+    shuffle + prefix-sum rank-select must keep the exact crop semantics."""
+
+    @staticmethod
+    def _scene(rng, g=64, p=8192):
+        pc = (rng.rand(p, 3) * 0.2 - 0.1).astype(np.float32)
+        bottom = pc[rng.choice(p, g)]
+        approach = np.tile([1.0, 0, 0], (g, 1)).astype(np.float32)
+        binormal = np.tile([0, 1.0, 0], (g, 1)).astype(np.float32)
+        minor = np.tile([0, 0, 1.0], (g, 1)).astype(np.float32)
+        return pc, bottom, approach, binormal, minor
+
+    def test_counts_and_membership_vs_oracle(self):
+        rng = np.random.RandomState(0)
+        pc, bottom, approach, binormal, minor = self._scene(rng)
+        hand_depth, width = 0.06, 0.08
+        points, counts, valid = collect_candidate_clouds(
+            jnp.asarray(bottom), jnp.asarray(approach), jnp.asarray(binormal),
+            jnp.asarray(minor), jnp.asarray(pc), jnp.float32(hand_depth),
+            jnp.float32(width), jax.random.PRNGKey(1), num_out=100,
+            min_point_limit=10)
+        points, counts, valid = map(np.asarray, (points, counts, valid))
+        assert valid.sum() > 10
+        for i in range(len(bottom)):
+            d = pc.astype(np.float64) - bottom[i]
+            pf = d  # identity frame rows
+            m = ((pf[:, 0] > 0) & (pf[:, 0] < hand_depth)
+                 & (np.abs(pf[:, 1]) < width / 2)
+                 & (np.abs(pf[:, 2]) < width / 4))
+            assert counts[i] == m.sum()
+            if valid[i]:
+                members = pf[m]
+                dd = np.linalg.norm(points[i][:, None] - members[None],
+                                    axis=-1)
+                assert dd.min(axis=1).max() < 1e-5
+
+    def test_without_replacement_distinct(self):
+        rng = np.random.RandomState(1)
+        pc, bottom, approach, binormal, minor = self._scene(rng)
+        points, counts, valid = collect_candidate_clouds(
+            jnp.asarray(bottom), jnp.asarray(approach), jnp.asarray(binormal),
+            jnp.asarray(minor), jnp.asarray(pc), jnp.float32(0.1),
+            jnp.float32(0.2), jax.random.PRNGKey(2), num_out=32,
+            min_point_limit=10)
+        points, counts, valid = map(np.asarray, (points, counts, valid))
+        hit = (counts > 32) & valid
+        assert hit.sum() > 5
+        for i in np.where(hit)[0][:10]:
+            uniq = np.unique(points[i], axis=0)
+            assert len(uniq) == 32, (i, len(uniq), counts[i])
+
+    def test_selection_is_not_spatially_biased(self):
+        """Ranks 1..num_out of a SHUFFLED order must sample uniformly: the
+        mean selected x-coordinate tracks the in-region mean, not the
+        cloud's storage order."""
+        rng = np.random.RandomState(2)
+        p = 8192
+        # storage order = sorted by x: an unshuffled first-k would pick the
+        # lowest-x points only
+        pc = np.sort((rng.rand(p, 3) * 0.2 - 0.1).astype(np.float32), axis=0)
+        pc = pc[np.argsort(pc[:, 0])]
+        g = 64
+        bottom = np.tile([-0.05, 0.0, 0.0], (g, 1)).astype(np.float32)
+        approach = np.tile([1.0, 0, 0], (g, 1)).astype(np.float32)
+        binormal = np.tile([0, 1.0, 0], (g, 1)).astype(np.float32)
+        minor = np.tile([0, 0, 1.0], (g, 1)).astype(np.float32)
+        points, counts, valid = collect_candidate_clouds(
+            jnp.asarray(bottom), jnp.asarray(approach), jnp.asarray(binormal),
+            jnp.asarray(minor), jnp.asarray(pc), jnp.float32(0.1),
+            jnp.float32(0.4), jax.random.PRNGKey(3), num_out=64,
+            min_point_limit=10)
+        points, counts = np.asarray(points), np.asarray(counts)
+        assert int(counts[0]) > 1000
+        d = pc.astype(np.float64) - bottom[0]
+        m = ((d[:, 0] > 0) & (d[:, 0] < 0.1) & (np.abs(d[:, 1]) < 0.2)
+             & (np.abs(d[:, 2]) < 0.1))
+        region_mean = d[m, 0].mean()
+        sel_mean = points[0][:, 0].mean()
+        spread = d[m, 0].std()
+        assert abs(sel_mean - region_mean) < spread / 2
