@@ -229,12 +229,23 @@ def _crop_batch_prefix(pc4, centers, rot_rows, box_lo, box_hi,
     pref_blocks = prefix.reshape(g, nb, _BLK)
     incl = pref_blocks[..., -1]                               # (G, NB)
 
-    # target ranks, 1-based: without replacement 1..num_out; with
-    # replacement num_out uniform draws from [1, count] (dataset.py:263-268)
-    r = jax.random.randint(k2, (g, num_out), 0,
+    # target ranks, 1-based. Without replacement: a PER-CANDIDATE random
+    # cyclic window of num_out ranks — any fixed window of a uniformly
+    # shuffled sequence is a uniform subset (exchangeability), and the
+    # random start decorrelates overlapping candidates, which would
+    # otherwise all receive the 'first num_out of the shared shuffle'
+    # (full per-candidate independence would need G shuffles — the cost
+    # this scheme exists to avoid; the residual window overlap between
+    # same-region candidates is ~num_out^2/count draws). With replacement:
+    # num_out uniform draws from [1, count] (dataset.py:263-268).
+    k2a, k2b = jax.random.split(k2)
+    r = jax.random.randint(k2a, (g, num_out), 0,
                            jnp.maximum(count, 1)[:, None])
-    t = jnp.where((count > num_out)[:, None],
-                  jnp.arange(1, num_out + 1, dtype=jnp.int32)[None, :],
+    start = jax.random.randint(k2b, (g, 1), 0,
+                               jnp.maximum(count, 1)[:, None])
+    window = (start + jnp.arange(num_out, dtype=jnp.int32)[None, :]) \
+        % jnp.maximum(count, 1)[:, None]
+    t = jnp.where((count > num_out)[:, None], window + 1,
                   r.astype(jnp.int32) + 1)                    # (G, num_out)
 
     # block of the t-th in-region point: #blocks whose inclusive total < t
@@ -246,6 +257,10 @@ def _crop_batch_prefix(pc4, centers, rot_rows, box_lo, box_hi,
     sel = jax.vmap(lambda pb, b: pb[b])(pref_blocks, blk)     # (G, N, BLK)
     off = jnp.sum(sel < t[..., None], axis=-1)                # (G, num_out)
     idx = jnp.minimum(blk * _BLK + off, p_pad - 1)
+    # count == 0: every rank misses and idx clamps to the far pad row —
+    # return finite row-0 points instead (callers with min_point_limit <= 0
+    # would otherwise feed ~1e9 coordinates to the network)
+    idx = jnp.where((count > 0)[:, None], idx, 0)
 
     sel_pts = jnp.take(pcs, idx, axis=0)[..., :3]             # (G, N, 3)
     return _to_frames(sel_pts, centers, rot_rows), count

@@ -97,8 +97,13 @@ def generate_gqcnn_dataset(dataset, output_dir: str, *,
             continue
         mesh = dataset.mesh(key)
         configs = dataset.grasps(key, gripper_name)
-        metrics = dataset.grasp_metrics(key, gripper_name).get(
-            metric_name, np.zeros(len(configs)))
+        stored = dataset.grasp_metrics(key, gripper_name)
+        if metric_name not in stored:
+            # a typo'd metric name must not silently write all-zero labels
+            raise KeyError(
+                f"object {key!r} has no grasp metric {metric_name!r}; "
+                f"stored metrics: {sorted(stored)}")
+        metrics = stored[metric_name]
         try:
             poses = dataset.stable_poses(key)[:1]  # most probable pose
         except KeyError:

@@ -290,7 +290,7 @@ class TestPrefixRankSelect:
         p = 8192
         # storage order = sorted by x: an unshuffled first-k would pick the
         # lowest-x points only
-        pc = np.sort((rng.rand(p, 3) * 0.2 - 0.1).astype(np.float32), axis=0)
+        pc = (rng.rand(p, 3) * 0.2 - 0.1).astype(np.float32)
         pc = pc[np.argsort(pc[:, 0])]
         g = 64
         bottom = np.tile([-0.05, 0.0, 0.0], (g, 1)).astype(np.float32)
