@@ -8,8 +8,9 @@ cleanup (:441-498), centering/normalization (:499-567), subdivision (:682),
 transforms (:735), random surface sampling (:767), rescaling (:835-886),
 convex hull (scipy/qhull instead of trimesh, :887), watertight check
 (:1203-1215), and quasi-static stable poses via hull-face toppling
-(:900-932,1500-1577 — same sink-drain idea; initial face probability uses
-the facet-area approximation rather than the reference's spherical-cap map).
+(:900-932,1500-1577 — same sink-drain idea; initial face probabilities are
+the reference's quasi-static spherical-map solid angles, see
+``_spherical_projection_areas``).
 
 Host-side by design: mesh processing is offline preprocessing; the TPU path
 consumes its outputs (SDFs, surface samples, stable-pose transforms).

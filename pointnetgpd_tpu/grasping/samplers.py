@@ -225,7 +225,7 @@ class GpgCandidates(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "gripper", "num_seeds", "max_neighbors", "num_dy", "dtheta_deg",
     "range_dtheta", "approach_steps", "min_open_points", "seed_chunk",
-    "mesh"))
+    "mesh", "exact"))
 def gpg_sample_candidates(
     points,
     normals,
@@ -246,6 +246,7 @@ def gpg_sample_candidates(
     point_frames=None,
     seed_chunk: int = 8,
     mesh=None,
+    exact: bool = False,
 ) -> GpgCandidates:
     """GPG candidate generation on a raw cloud, fully batched
     (GpgGraspSamplerPcl.sample_grasps, grasp_sampler.py:1389-1656).
@@ -272,6 +273,11 @@ def gpg_sample_candidates(
     given the replicated cloud: zero collectives, linear scaling, same
     results as single-device). The online analogue of
     ``GraspScorer(mesh=...)``'s candidate-axis sharding.
+
+    ``exact``: force exact top_k neighbor selection for the seed-frame
+    covariance instead of the TPU default ``lax.approx_min_k`` (the same
+    escape hatch as ``estimate_normals_knn(exact=True)``) — parity/oracle
+    runs can pin down the reference's exact-KNN semantics end to end.
     """
     p_total = points.shape[0]
     dtype = points.dtype
@@ -294,6 +300,9 @@ def gpg_sample_candidates(
     if seed_idx.shape[0] < num_seeds:
         seed_idx = jnp.pad(seed_idx, (0, num_seeds - seed_idx.shape[0]),
                            mode="edge")
+    # edge-padded slots duplicate the last seed; mask them invalid so a
+    # tiny cloud can't return identical (seed, theta) candidates many times
+    seed_ok = above[seed_idx] & (jnp.arange(num_seeds) < p_total)
 
     # Morton-order the seeds so consecutive seeds are spatially close: the
     # Pallas scan kernel prunes cloud tiles per 128-frame block against the
@@ -309,6 +318,7 @@ def gpg_sample_candidates(
     morton_perm = jnp.argsort(code)
     unsort = jnp.argsort(morton_perm)     # inverse permutation (seed axis)
     seed_idx = seed_idx[morton_perm]
+    seed_ok = seed_ok[morton_perm]
 
     thetas = jnp.arange(-range_dtheta, range_dtheta + 1, dtheta_deg,
                         dtype=dtype) / 180.0 * jnp.pi
@@ -357,12 +367,17 @@ def gpg_sample_candidates(
         # ~0.95 recall/neighbor; the normal-covariance frame is a
         # statistical estimate over ~100 neighbors, insensitive to an
         # occasional swapped one (same trade as estimate_normals_knn)
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and not exact:
             pd2, nbr = jax.lax.approx_min_k(d2, knn)   # (S, knn)
         else:
             nd2, nbr = jax.lax.top_k(-d2, knn)
             pd2 = -nd2
-        w = ((pd2 <= r_ball * r_ball) & (pd2 > 1e-12)).astype(dtype)
+        # self-exclusion threshold 1e-8 m^2 (0.1 mm): the matmul-form d2
+        # carries fp32 cancellation noise ~1e-9 at 0.2 m scale, so an exact
+        # >0 test would include/exclude the seed's own normal at random;
+        # 1e-8 is well below any inter-point distance at voxel-downsampled
+        # resolution
+        w = ((pd2 <= r_ball * r_ball) & (pd2 > 1e-8)).astype(dtype)
         nn = normals[nbr]                              # (S, knn, 3)
         nn = nn / jnp.maximum(
             jnp.linalg.norm(nn, axis=-1, keepdims=True), 1e-12)
@@ -399,7 +414,7 @@ def gpg_sample_candidates(
     bite = float(gripper.init_bite)
     boxes_np = panel_box_array(gripper)
     m_ok_rep = jnp.repeat(seed_m_ok, n_theta)
-    above_rep = jnp.repeat(above[seed_idx], n_theta)
+    above_rep = jnp.repeat(seed_ok, n_theta)
 
     def frames_block(points_r, seeds_rep, rr, m_ok_rep, above_rep):
         """Scans + per-frame glue for a block of frames (shardable: each

@@ -298,6 +298,29 @@ class TestGpgSampler:
             np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
 
 
+class TestGpgPaddedSeeds:
+    def test_tiny_cloud_pad_slots_invalid(self):
+        """Clouds smaller than num_seeds edge-pad the seed index buffer;
+        the duplicated pad slots must be masked invalid so identical
+        (seed, theta) candidates can't multiply (ADVICE r2)."""
+        rng = np.random.RandomState(3)
+        n = 12  # < num_seeds
+        pts = (rng.rand(n, 3) * [0.05, 0.05, 0.0]
+               + [0, 0, 0.08]).astype(np.float32)
+        pts[:, :2] -= 0.025
+        normals = np.tile([0, 0, 1.0], (n, 1)).astype(np.float32)
+        num_seeds = 32
+        out = gpg_sample_candidates(
+            jnp.asarray(pts), jnp.asarray(normals),
+            jax.random.PRNGKey(1), Gripper(), num_seeds=num_seeds,
+            approach_steps=10)
+        n_theta = out.valid.shape[0] // num_seeds
+        valid = np.asarray(out.valid).reshape(num_seeds, n_theta)
+        # pad slots are the seed indices >= n in the ORIGINAL selection
+        # order, which is what the sampler returns: all must be invalid
+        assert not valid[n:].any()
+
+
 class TestGpgSamplerSharded:
     def test_mesh_sharded_equals_single_device(self):
         """Frame-axis shard_map over the 8-device mesh must reproduce the
