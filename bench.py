@@ -128,24 +128,31 @@ def bench_tpu():
     mesh = make_mesh()
     n_chips = len(mesh.devices.flatten())
     tx = make_optimizer(0.005)
-    p2, bn2 = init_pointnet_cls(jax.random.PRNGKey(1), input_chann=3, k=2)
-    tstate = replicate_tree(init_train_state(p2, bn2, tx), mesh)
-    step_fn = make_fused_train_step(tx, num_points=NUM_POINTS, min_point_limit=50)
     batch = 128 * n_chips
     data = SyntheticGraspData(batch_size=batch, cloud_points=SCENE_POINTS)
     grasps, clouds, transforms, labels, weights = data.next_batch()
     sharding = batch_sharding(mesh)
     args = [jax.device_put(a, sharding)
             for a in (grasps, clouds, transforms, labels, weights)]
-    box = {"state": tstate}
 
-    def train_iter(i):
-        st, m = step_fn(box["state"], *args, jax.random.PRNGKey(i))
-        box["state"] = st
-        return m["loss"]
+    def train_rate(compute_dtype):
+        p2, bn2 = init_pointnet_cls(jax.random.PRNGKey(1), input_chann=3,
+                                    k=2)
+        tstate = replicate_tree(init_train_state(p2, bn2, tx), mesh)
+        step_fn = make_fused_train_step(
+            tx, num_points=NUM_POINTS, min_point_limit=50,
+            compute_dtype=compute_dtype)
+        box = {"state": tstate}
 
-    dt_train = _timed(train_iter, n=10)
-    train_sps_chip = batch / dt_train / n_chips
+        def train_iter(i):
+            st, m = step_fn(box["state"], *args, jax.random.PRNGKey(i))
+            box["state"] = st
+            return m["loss"]
+
+        return batch / _timed(train_iter, n=10) / n_chips
+
+    train_sps_chip = train_rate(None)                 # fp32 (parity mode)
+    train_sps_chip_bf16 = train_rate(jnp.bfloat16)    # mixed precision
 
     # dataset-generation labeling rate: antipodal sampling + friction-ladder
     # force-closure + Ferrari-Canny, all on device (generate-dataset-canny.py
@@ -176,7 +183,7 @@ def bench_tpu():
     labels_per_sec = float(jnp.sum(label_round(0))) / dt_label
 
     return (cand_per_sec, train_sps_chip, dt * 1e3, cand_per_sec_bf16,
-            labels_per_sec)
+            labels_per_sec, train_sps_chip_bf16)
 
 
 def bench_voxelizer_extra():
@@ -305,7 +312,7 @@ def bench_reference_torch():
 
 def main():
     (cand_per_sec, train_sps_chip, ms_per_scene, bf16_cps,
-     labels_per_sec) = bench_tpu()
+     labels_per_sec, train_sps_bf16) = bench_tpu()
     try:
         vox = bench_voxelizer_extra()
     except Exception:
@@ -325,6 +332,7 @@ def main():
             "scene_latency_ms_512_candidates": round(ms_per_scene, 2),
             "bf16_candidates_per_sec": round(bf16_cps, 1),
             "train_samples_per_sec_per_chip_750pt_b128": round(train_sps_chip, 1),
+            "train_bf16_samples_per_sec_per_chip": round(train_sps_bf16, 1),
             "labeled_grasps_per_sec": round(labels_per_sec, 1),
             "reference_torch_cpu_candidates_per_sec": round(baseline, 1) if baseline else None,
             "voxelizer_pallas_ms_100cube_8192tri": round(vox[0], 1) if vox else None,

@@ -75,19 +75,28 @@ def batchnorm(p, s, x, *, train: bool):
     """
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.mean(jnp.square(x - mean), axis=axes)  # biased, used to normalize
-        y = (x - mean) * jax.lax.rsqrt(var + BN_EPS)
+        # stats accumulate in AT LEAST f32 (bit-identical for f32/f64
+        # inputs; for the bf16 mixed-precision train path a bf16 reduction
+        # over ~1e5 elements would lose the mean entirely). The casts fuse
+        # into the reduces — no extra materialization.
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes)  # biased, normalizes
+        y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+            var + BN_EPS).astype(x.dtype)
         n = 1
         for a in axes:
             n *= x.shape[a]
         unbiased = var * (n / max(n - 1, 1))
         new_s = {
-            "mean": (1.0 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
-            "var": (1.0 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
+            "mean": (1.0 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM
+            * mean.astype(s["mean"].dtype),
+            "var": (1.0 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM
+            * unbiased.astype(s["var"].dtype),
         }
         return y * p["scale"] + p["bias"], new_s
-    y = (x - s["mean"]) * jax.lax.rsqrt(s["var"] + BN_EPS)
+    y = (x - s["mean"].astype(x.dtype)) * jax.lax.rsqrt(
+        s["var"] + BN_EPS).astype(x.dtype)
     return y * p["scale"] + p["bias"], s
 
 

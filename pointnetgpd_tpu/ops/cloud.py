@@ -67,14 +67,20 @@ def voxel_downsample_packed(points, n_grid: int = 500, pad_value=-1e6):
     return packed, count
 
 
-def morton_codes(points, bits: int = 10):
+def morton_codes(points, bits: int = 10, bbox=None):
     """(N, 3) points -> (N,) uint32 Morton (Z-order) codes over the points'
-    own bounding box. Sorting by the code makes consecutive elements
-    spatially close — used for the GPG seed blocks (tile pruning) and the
-    voxelizer's triangle supertiles. jnp; works traced or concrete."""
+    own bounding box (or an explicit ``bbox=(lo, hi)`` — pass one when the
+    array carries far sentinel padding, which would otherwise collapse the
+    real points into a single cell). Sorting by the code makes consecutive
+    elements spatially close — used for the GPG seed blocks (tile pruning),
+    the voxelizer's triangle supertiles, and the window-KNN normal
+    estimator. jnp; works traced or concrete."""
     points = jnp.asarray(points)
-    lo = jnp.min(points, axis=0)
-    hi = jnp.max(points, axis=0)
+    if bbox is None:
+        lo = jnp.min(points, axis=0)
+        hi = jnp.max(points, axis=0)
+    else:
+        lo, hi = (jnp.asarray(b, points.dtype) for b in bbox)
     span = jnp.maximum(hi - lo, 1e-12)
     top = float(2 ** bits - 1)
     q = jnp.clip((points - lo) / span * top, 0.0, top).astype(jnp.uint32)
@@ -167,6 +173,105 @@ def extreme_eigvecs_sym3x3(a):
                             tiny)
     v_min = jnp.where(n < 1e-6, alt, v_min / jnp.maximum(n, tiny))
     return v_min, v_max
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "q_chunk",
+                                             "exact", "mesh"))
+def estimate_normals_knn_window(points, camera_pos, *, k: int = 30,
+                                window: int = 2048, q_chunk: int = 256,
+                                exact: bool = False, bbox=None, mesh=None):
+    """Subquadratic KNN normals: Morton-sorted window candidates.
+
+    The all-pairs path (estimate_normals_knn) is O(P^2) compute — 7.2G
+    point pairs at the 85k-point scenes docs/SCALING.md serves. This
+    variant sorts the cloud by Morton code once (O(P log P)), then each
+    query chunk of ``q_chunk`` CONSECUTIVE sorted points searches only a
+    ``window`` of surrounding sorted points: O(P * window) pairs, near-
+    linear in P. Z-order locality makes the true k nearest neighbors land
+    inside the window for all but boundary-straddling points; with
+    window >> k the plane-fit normal is statistically indistinguishable
+    from the exact-KNN normal (tests/test_cloud_ops.py measures agreement),
+    the same trade as approx_min_k. Replaces pcl's O(P log P) KDTree
+    (reference: kinect2grasp.py:131-136) at production scale.
+
+    ``exact`` here selects exact top_k WITHIN the window (the window
+    itself is still approximate); for exact-KNN oracle runs use
+    estimate_normals_knn(exact=True). ``bbox=(lo, hi)``: explicit Morton
+    bounding box — pass the REAL cloud's box when ``points`` carries far
+    sentinel padding (the detector's bucket tail), which would otherwise
+    collapse the real points into one Morton cell; sentinels then quantize
+    to a clipped corner, sort to one end, and stay out of every real
+    point's k nearest (their distances are huge).
+
+    ``mesh``: optional jax.sharding.Mesh — shard_maps the query-chunk axis
+    over the mesh's first axis with the sorted cloud replicated (chunks are
+    independent: zero collectives, same results as single-device) — the
+    normals leg of the sharded online frame pipeline.
+    """
+    p_total = points.shape[0]
+    if p_total <= max(window, q_chunk) or p_total <= k:
+        return estimate_normals_knn(points, camera_pos, k=k, exact=exact)
+
+    order = jnp.argsort(morton_codes(points, bits=10, bbox=bbox))
+    ps = jnp.take(points, order, axis=0)
+    ndev = 1 if mesh is None else mesh.shape[mesh.axis_names[0]]
+    pad = (-p_total) % (q_chunk * ndev)
+    p_pad = p_total + pad
+    if pad:
+        # finite far padding; forms its own trailing Morton chunks
+        ps = jnp.concatenate([ps, jnp.full((pad, 3), 1e9, points.dtype)])
+    n_chunks = p_pad // q_chunk
+
+    starts = jnp.clip(
+        jnp.arange(n_chunks) * q_chunk + q_chunk // 2 - window // 2,
+        0, p_pad - window)                                   # (C,)
+    queries = ps.reshape(n_chunks, q_chunk, 3)
+
+    # NOTE: a grouped/batched variant (gather all windows up front, vmap 16
+    # chunks per map step) measured consistently SLOWER (11.4 vs 9.3 ms at
+    # 20k): the cost driver is the k-selection over P*window keys, not the
+    # per-chunk launches, and the up-front window gather only adds traffic.
+    def chunk_map(ps_rep, queries_sh, starts_sh):
+        def one_chunk(args):
+            q, start = args
+            cand = jax.lax.dynamic_slice(ps_rep, (start, 0), (window, 3))
+            cross = jnp.matmul(q, cand.T,
+                               precision=jax.lax.Precision.HIGHEST)
+            d2 = (jnp.sum(q * q, axis=-1)[:, None] - 2.0 * cross
+                  + jnp.sum(cand * cand, axis=-1)[None, :])
+            if exact or jax.default_backend() != "tpu":
+                _, nbr = jax.lax.top_k(-d2, k)
+            else:
+                _, nbr = jax.lax.approx_min_k(d2, k)
+            nbr_pts = cand[nbr]                              # (Q, k, 3)
+            mean = jnp.mean(nbr_pts, axis=1, keepdims=True)
+            centered = nbr_pts - mean
+            cov = jnp.einsum("qki,qkj->qij", centered, centered)
+            return smallest_eigvec_sym3x3(cov)
+
+        return jax.lax.map(one_chunk, (queries_sh, starts_sh))
+
+    if mesh is None:
+        normals_sorted = chunk_map(ps, queries, starts).reshape(-1, 3)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        axis = mesh.axis_names[0]
+        normals_sorted = shard_map(
+            chunk_map, mesh=mesh,
+            in_specs=(PartitionSpec(), PartitionSpec(axis),
+                      PartitionSpec(axis)),
+            out_specs=PartitionSpec(axis),
+        )(ps, queries, starts).reshape(-1, 3)
+    normals = jnp.zeros((p_total, 3), points.dtype).at[order].set(
+        normals_sorted[:p_total])
+
+    to_cam = camera_pos - points
+    flip = jnp.sum(to_cam * normals, axis=-1) < 0
+    normals = jnp.where(flip[:, None], -normals, normals)
+    return normals / jnp.maximum(
+        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "exact"))

@@ -201,43 +201,27 @@ def _to_frames(pts, centers, rot_rows):
     return jnp.stack(y, axis=-1)
 
 
-def _crop_batch_prefix(pc4, centers, rot_rows, box_lo, box_hi,
-                       num_out: int, k1, k2):
-    """Shuffle + prefix-sum rank-select (see the strategy comment above).
+def _rank_select_indices(mask, count, num_out: int, k2):
+    """Rank-select core: (G, P') in-region mask -> (G, num_out) indices of
+    the selected points in the (shuffled) cloud order.
 
-    pc4: (P, 4) padded cloud shared by all G grasps. Exact semantics:
-    uniform without replacement when count > num_out (the first num_out
-    in-region points of a uniformly shuffled cloud), with replacement
-    otherwise (uniform ranks in [1, count])."""
-    g = centers.shape[0]
-    p_total = pc4.shape[0]
-
-    perm = jax.random.permutation(k1, p_total)
-    pcs = jnp.take(pc4, perm, axis=0)
-    p_pad = -(-p_total // _BLK) * _BLK
-    if p_pad > p_total:  # pad rows far away: outside every crop box
-        pcs = jnp.pad(pcs, ((0, p_pad - p_total), (0, 0)),
-                      constant_values=1e9)
-
-    frame = _to_frames(pcs[None, :, :3], centers, rot_rows)   # (G, P', 3)
-    mask = jnp.all((frame > box_lo[:, None]) & (frame < box_hi[:, None]),
-                   axis=-1)                                   # (G, P')
-    count = jnp.sum(mask, axis=-1)                            # (G,)
+    Target ranks, 1-based. Without replacement: a PER-CANDIDATE random
+    cyclic window of num_out ranks — any fixed window of a uniformly
+    shuffled sequence is a uniform subset (exchangeability), and the
+    random start decorrelates overlapping candidates, which would
+    otherwise all receive the 'first num_out of the shared shuffle'
+    (full per-candidate independence would need G shuffles — the cost
+    this scheme exists to avoid; the residual window overlap between
+    same-region candidates is ~num_out^2/count draws). With replacement:
+    num_out uniform draws from [1, count] (dataset.py:263-268).
+    """
+    g, p_pad = mask.shape
+    nb = p_pad // _BLK
 
     prefix = jnp.cumsum(mask.astype(jnp.int32), axis=1)       # (G, P')
-    nb = p_pad // _BLK
     pref_blocks = prefix.reshape(g, nb, _BLK)
     incl = pref_blocks[..., -1]                               # (G, NB)
 
-    # target ranks, 1-based. Without replacement: a PER-CANDIDATE random
-    # cyclic window of num_out ranks — any fixed window of a uniformly
-    # shuffled sequence is a uniform subset (exchangeability), and the
-    # random start decorrelates overlapping candidates, which would
-    # otherwise all receive the 'first num_out of the shared shuffle'
-    # (full per-candidate independence would need G shuffles — the cost
-    # this scheme exists to avoid; the residual window overlap between
-    # same-region candidates is ~num_out^2/count draws). With replacement:
-    # num_out uniform draws from [1, count] (dataset.py:263-268).
     k2a, k2b = jax.random.split(k2)
     r = jax.random.randint(k2a, (g, num_out), 0,
                            jnp.maximum(count, 1)[:, None])
@@ -260,9 +244,67 @@ def _crop_batch_prefix(pc4, centers, rot_rows, box_lo, box_hi,
     # count == 0: every rank misses and idx clamps to the far pad row —
     # return finite row-0 points instead (callers with min_point_limit <= 0
     # would otherwise feed ~1e9 coordinates to the network)
-    idx = jnp.where((count > 0)[:, None], idx, 0)
+    return jnp.where((count > 0)[:, None], idx, 0)
 
+
+def _crop_batch_prefix(pc4, centers, rot_rows, box_lo, box_hi,
+                       num_out: int, k1, k2):
+    """Shuffle + prefix-sum rank-select (see the strategy comment above).
+
+    pc4: (P, 4) padded cloud shared by all G grasps. Exact semantics:
+    uniform without replacement when count > num_out (the first num_out
+    in-region points of a uniformly shuffled cloud), with replacement
+    otherwise (uniform ranks in [1, count])."""
+    p_total = pc4.shape[0]
+
+    perm = jax.random.permutation(k1, p_total)
+    pcs = jnp.take(pc4, perm, axis=0)
+    p_pad = -(-p_total // _BLK) * _BLK
+    if p_pad > p_total:  # pad rows far away: outside every crop box
+        pcs = jnp.pad(pcs, ((0, p_pad - p_total), (0, 0)),
+                      constant_values=1e9)
+
+    frame = _to_frames(pcs[None, :, :3], centers, rot_rows)   # (G, P', 3)
+    mask = jnp.all((frame > box_lo[:, None]) & (frame < box_hi[:, None]),
+                   axis=-1)                                   # (G, P')
+    count = jnp.sum(mask, axis=-1)                            # (G,)
+
+    idx = _rank_select_indices(mask, count, num_out, k2)
     sel_pts = jnp.take(pcs, idx, axis=0)[..., :3]             # (G, N, 3)
+    return _to_frames(sel_pts, centers, rot_rows), count
+
+
+def _crop_batch_prefix_percloud(pc4, centers, rot_rows, box_lo, box_hi,
+                                num_out: int, k1, k2):
+    """Per-cloud rank-select: grasp g crops ITS OWN cloud pc4[g] — the
+    training path's layout (B samples, one view cloud each), batched as one
+    G=B program instead of a vmapped per-sample two-stage top-k.
+
+    pc4: (G, P, 4). ONE index shuffle is shared by the batch: the clouds
+    differ per sample, so 'first num_out in-region points of a common
+    random order' is still a uniform random subset per sample, and the
+    per-sample random rank windows (_rank_select_indices) decorrelate the
+    occasional same-cloud pair (same trade as the scene path, documented
+    in docs/QUIRKS.md). This amortizes the 20k-point shuffle over the
+    whole batch — the reason the per-sample path couldn't use rank-select.
+    """
+    g, p_total = pc4.shape[0], pc4.shape[1]
+
+    perm = jax.random.permutation(k1, p_total)
+    pcs = jnp.take(pc4, perm, axis=1)                         # (G, P, 4)
+    p_pad = -(-p_total // _BLK) * _BLK
+    if p_pad > p_total:  # pad rows far away: outside every crop box
+        pcs = jnp.pad(pcs, ((0, 0), (0, p_pad - p_total), (0, 0)),
+                      constant_values=1e9)
+
+    frame = _to_frames(pcs[..., :3], centers, rot_rows)       # (G, P', 3)
+    mask = jnp.all((frame > box_lo[:, None]) & (frame < box_hi[:, None]),
+                   axis=-1)                                   # (G, P')
+    count = jnp.sum(mask, axis=-1)                            # (G,)
+
+    idx = _rank_select_indices(mask, count, num_out, k2)
+    # whole-row per-cloud gather (slice_sizes (1, 4) batched over G)
+    sel_pts = jax.vmap(lambda pc_g, ix: pc_g[ix])(pcs, idx)[..., :3]
     return _to_frames(sel_pts, centers, rot_rows), count
 
 
@@ -382,6 +424,54 @@ def collect_grasp_clouds(
                                  num_out, key)
     valid = counts >= min_point_limit
     # zero out invalid entries so downstream batched scoring is well-defined
+    points = jnp.where(valid[:, None, None], points, 0.0)
+    return points, counts, valid
+
+
+@functools.partial(jax.jit, static_argnames=("num_out", "min_point_limit"))
+def collect_grasp_clouds_batched(
+    grasps,
+    clouds,
+    transforms,
+    key,
+    *,
+    num_out: int = 750,
+    min_point_limit: int = 50,
+):
+    """Per-sample training crop, batched: sample i crops ITS OWN cloud.
+
+    The training batch layout (one grasp + one view cloud + one transform
+    per sample, dataset.py:420-453) as ONE rank-select program over the
+    whole batch — replaces vmapping ``collect_grasp_clouds`` per sample
+    (which fell back to the two-stage top-k because a single sample's
+    shuffle can't amortize; the batch's can — see
+    ``_crop_batch_prefix_percloud``).
+
+    Args:
+      grasps: (B, >=8) grasp configuration rows.
+      clouds: (B, P, 3) per-sample view clouds.
+      transforms: (B, 4, 4) per-sample mesh->cloud transforms.
+      key: PRNG key (one shuffle + per-sample rank windows).
+
+    Returns (points (B, num_out, 3) in gripper frames, counts (B,),
+    valid (B,) = counts >= min_point_limit).
+    """
+    def frame_of(grasp, transform):
+        center, approach, binormal, minor, width = grasp_frame_from_config(
+            grasp)
+        center, approach, binormal, minor = apply_transform_to_frame(
+            transform, center, approach, binormal, minor
+        )
+        rot_rows = jnp.stack([approach, binormal, minor])
+        box = jnp.stack([width / 4.0, width / 2.0, width / 4.0])
+        return center, rot_rows, box
+
+    centers, rot_rows, boxes = jax.vmap(frame_of)(grasps, transforms)
+    k1, k2 = jax.random.split(key)
+    pc4 = jnp.pad(clouds, ((0, 0), (0, 0), (0, 1)))
+    points, counts = _crop_batch_prefix_percloud(
+        pc4, centers, rot_rows, -boxes, boxes, num_out, k1, k2)
+    valid = counts >= min_point_limit
     points = jnp.where(valid[:, None, None], points, 0.0)
     return points, counts, valid
 

@@ -1,0 +1,439 @@
+"""Training-accuracy parity harness: our trainer vs the reference trainer.
+
+The one unmeasured leg of the parity story (VERDICT r2): the repo proves
+bit-level model/converter parity and that the fused step learns, but the
+reference's entire purpose is the trained classifier
+(reference: PointNetGPD/main_1v_mc.py:59-110 train/test loops over
+PointGraspOneViewMultiClassDataset, model/dataset.py:464-549). This module
+closes that by:
+
+1. generating a labeled grasp dataset with THIS repo's own pipeline
+   (antipodal sampling + friction-ladder labels + Ferrari-Canny,
+   pipelines/generate_dataset.py) on analytic objects, written in the
+   reference's exact on-disk layout ($PointNetGPD_FOLDER tree:
+   ycb_grasp/{tag}/*.npy 12-col rows + per-view clouds + google2cloud.pkl,
+   dataset.py:12,226-227,400);
+2. training the REFERENCE torch path on it — its own dataset class and
+   model code imported from /root/reference (oracle-only, like
+   tests/test_model_parity.py), driven by a loop with main_1v_mc.py's exact
+   semantics (Adam(lr) re-created every epoch, NLL on log_softmax, per-epoch
+   eval in eval mode, main_1v.py:59-110);
+3. training THIS repo's path (OneViewBatcher + fused train step) on the
+   identical files with the same batch/lr/epochs and the same
+   optimizer-reset quirk;
+4. comparing per-epoch eval accuracy.
+
+`examples/train_parity_experiment.py` drives the full run and writes
+docs/TRAINING_PARITY.md; tests/test_training_parity.py runs a miniature.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Analytic objects: SDF grids + dense surface samplers
+# ---------------------------------------------------------------------------
+
+
+def _sdf_grid_from_fn(fn, half_extent: float, dim: int, resolution: float):
+    from ..geometry.sdf import make_sdf
+
+    origin = -resolution * (dim - 1) / 2.0 * np.ones(3)
+    ii, jj, kk = np.meshgrid(*(np.arange(dim),) * 3, indexing="ij")
+    pts = origin + resolution * np.stack([ii, jj, kk], axis=-1)
+    return make_sdf(fn(pts).astype(np.float32), origin, resolution)
+
+
+def _sphere_sdf(r):
+    return lambda p: np.linalg.norm(p, axis=-1) - r
+
+
+def _box_sdf(half):
+    half = np.asarray(half)
+
+    def fn(p):
+        q = np.abs(p) - half
+        outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+        inside = np.minimum(np.max(q, axis=-1), 0.0)
+        return outside + inside
+
+    return fn
+
+
+def _cylinder_sdf(r, h):
+    def fn(p):
+        dxy = np.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2) - r
+        dz = np.abs(p[..., 2]) - h / 2.0
+        q = np.stack([dxy, dz], axis=-1)
+        outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+        inside = np.minimum(np.max(q, axis=-1), 0.0)
+        return outside + inside
+
+    return fn
+
+
+def _sample_sphere(rng, n, r):
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return r * v, v
+
+
+def _sample_box(rng, n, half):
+    hx, hy, hz = half
+    areas = np.array([hy * hz, hx * hz, hx * hy])  # per face pair (x4 const)
+    face_axis = rng.choice(3, n, p=areas / areas.sum())
+    sign = rng.choice([-1.0, 1.0], n)
+    u = rng.uniform(-1, 1, (n, 3)) * np.asarray(half)
+    pts = u.copy()
+    normals = np.zeros((n, 3))
+    for a in range(3):
+        m = face_axis == a
+        pts[m, a] = sign[m] * half[a]
+        normals[m, a] = sign[m]
+    return pts, normals
+
+
+def _sample_cylinder(rng, n, r, h):
+    a_side = 2 * np.pi * r * h
+    a_cap = np.pi * r * r
+    which = rng.choice(2, n, p=np.array([a_side, 2 * a_cap])
+                       / (a_side + 2 * a_cap))
+    th = rng.uniform(0, 2 * np.pi, n)
+    pts = np.zeros((n, 3))
+    normals = np.zeros((n, 3))
+    side = which == 0
+    pts[side] = np.stack([r * np.cos(th[side]), r * np.sin(th[side]),
+                          rng.uniform(-h / 2, h / 2, side.sum())], axis=1)
+    normals[side] = np.stack([np.cos(th[side]), np.sin(th[side]),
+                              np.zeros(side.sum())], axis=1)
+    cap = ~side
+    rr = r * np.sqrt(rng.uniform(0, 1, cap.sum()))
+    sgn = rng.choice([-1.0, 1.0], cap.sum())
+    pts[cap] = np.stack([rr * np.cos(th[cap]), rr * np.sin(th[cap]),
+                         sgn * h / 2], axis=1)
+    normals[cap, 2] = sgn
+    return pts, normals
+
+
+PARITY_OBJECTS = {
+    # name -> (sdf_fn, surface_sampler(rng, n) -> (pts, normals))
+    "parity_sphere": (
+        _sphere_sdf(0.032), lambda rng, n: _sample_sphere(rng, n, 0.032)),
+    "parity_box": (
+        _box_sdf((0.024, 0.036, 0.020)),
+        lambda rng, n: _sample_box(rng, n, (0.024, 0.036, 0.020))),
+    "parity_cylinder": (
+        _cylinder_sdf(0.027, 0.09),
+        lambda rng, n: _sample_cylinder(rng, n, 0.027, 0.09)),
+}
+
+# oblique viewpoints (a straight-overhead camera sees almost no side
+# points; docs/QUIRKS.md GPG note) — one per view file
+VIEW_CAMERAS = np.array([
+    [0.5, 0.3, 0.4], [-0.4, 0.5, 0.35], [0.3, -0.5, 0.45],
+    [-0.5, -0.3, 0.4], [0.55, 0.0, 0.3], [0.0, 0.55, 0.3],
+], np.float32)
+
+
+def build_parity_dataset(root: str, *, grasps_per_class: int = 12,
+                         max_rounds: int = 12, views_per_object: int = 6,
+                         points_per_view: int = 12000,
+                         train_frac: float = 0.8, seed: int = 0,
+                         sdf_dim: int = 56, sdf_res: float = 0.0022,
+                         objects=None, noise_std: float = 3e-4):
+    """Generate the parity dataset in the reference's on-disk layout.
+
+    Per object: label grasps with the device pipeline (full 7-level friction
+    ladder, FC_LIST_FULL — the multi-class ladder generate-dataset-canny.py
+    uses when less_class is off, :88-95), shuffle, split train/test, and
+    trim so every object contributes the SAME row count per split (the
+    reference indexes (object, grasp) via np.unravel_index over one shared
+    grasp_amount_per_file, dataset.py:508). Views are dense analytic surface
+    samples, camera-visible filtered, with sub-voxel Gaussian noise.
+
+    Returns {"objects", "n_train", "n_test", "points_per_view"}.
+    """
+    import jax
+
+    from ..grasping.evaluation import FC_LIST_FULL
+    from ..grasping.gripper import Gripper
+    from .generate_dataset import label_grasps_for_object
+
+    objects = list(objects or PARITY_OBJECTS)
+    gripper = Gripper()
+    rng = np.random.RandomState(seed)
+
+    grasp_dir_train = os.path.join(root, "PointNetGPD/data/ycb_grasp/train")
+    grasp_dir_test = os.path.join(root, "PointNetGPD/data/ycb_grasp/test")
+    os.makedirs(grasp_dir_train, exist_ok=True)
+    os.makedirs(grasp_dir_test, exist_ok=True)
+
+    rows_by_obj = {}
+    for i, name in enumerate(objects):
+        sdf_fn, _ = PARITY_OBJECTS[name]
+        sdf = _sdf_grid_from_fn(sdf_fn, 0.06, sdf_dim, sdf_res)
+        rows, counts = label_grasps_for_object(
+            sdf, np.zeros(3, np.float32), gripper,
+            jax.random.PRNGKey(seed + 17 * i), fc_list=FC_LIST_FULL,
+            grasps_per_class=grasps_per_class, max_rounds=max_rounds)
+        if len(rows) < 10:
+            raise RuntimeError(f"too few labeled grasps for {name}: "
+                               f"{len(rows)} (counts={counts.tolist()})")
+        rng.shuffle(rows)
+        rows_by_obj[name] = rows
+
+    n_min = min(len(r) for r in rows_by_obj.values())
+    n_train = int(round(n_min * train_frac))
+    n_test = n_min - n_train
+
+    transform = {}
+    for name in objects:
+        rows = rows_by_obj[name]
+        np.save(os.path.join(grasp_dir_train, f"{name}.npy"),
+                rows[:n_train])
+        np.save(os.path.join(grasp_dir_test, f"{name}.npy"),
+                rows[n_train:n_train + n_test])
+        transform[name] = (name, np.eye(4, dtype=np.float32))
+
+        cloud_dir = os.path.join(
+            root, f"data/ycb-tools/models/ycb/{name}/rgbd/clouds")
+        os.makedirs(cloud_dir, exist_ok=True)
+        _, sampler = PARITY_OBJECTS[name]
+        for v in range(views_per_object):
+            cam = VIEW_CAMERAS[v % len(VIEW_CAMERAS)]
+            # oversample, visible-filter, then trim to a uniform view size
+            pts, normals = sampler(rng, int(points_per_view * 2.6))
+            vis = np.sum((cam - pts) * normals, axis=1) > 0
+            pts = pts[vis]
+            if len(pts) < points_per_view:
+                extra = rng.choice(len(pts), points_per_view - len(pts))
+                pts = np.concatenate([pts, pts[extra]])
+            pts = pts[:points_per_view]
+            pts = pts + rng.randn(*pts.shape) * noise_std
+            np.save(os.path.join(cloud_dir, f"pc_NP3_NP5_{v}.npy"),
+                    pts.astype(np.float32))
+
+    with open(os.path.join(root, "PointNetGPD/data/google2cloud.pkl"),
+              "wb") as f:
+        pickle.dump(transform, f)
+    return {"objects": objects, "n_train": n_train, "n_test": n_test,
+            "points_per_view": points_per_view}
+
+
+# ---------------------------------------------------------------------------
+# Reference torch trainer (oracle; reference code imported, not copied)
+# ---------------------------------------------------------------------------
+
+
+def _load_reference_modules(root: str,
+                            reference_root: str = "/root/reference"):
+    """Import the reference's dataset + model modules against ``root``.
+
+    open3d is absent from this environment; only the GPD projection path
+    touches it, so a stub module suffices (same trick as
+    tests/test_crop_parity.py).
+    """
+    import importlib.util
+
+    if "open3d" not in sys.modules:
+        sys.modules["open3d"] = types.ModuleType("open3d")
+    os.environ["PointNetGPD_FOLDER"] = root
+
+    mods = {}
+    for alias, rel in (("_parity_ref_dataset", "PointNetGPD/model/dataset.py"),
+                       ("_parity_ref_pointnet", "PointNetGPD/model/pointnet.py")):
+        path = os.path.join(reference_root, rel)
+        spec = importlib.util.spec_from_file_location(alias, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mods[alias.rsplit("_", 1)[-1]] = mod
+    return mods["dataset"], mods["pointnet"]
+
+
+def train_reference(root: str, *, epochs: int, batch_size: int = 64,
+                    lr: float = 0.005, num_points: int = 750,
+                    grasp_amount_train: int, grasp_amount_test: int,
+                    thresh_good: float = 0.5, thresh_bad: float = 1.2,
+                    seed: int = 0, num_workers: int = 2,
+                    reference_root: str = "/root/reference"):
+    """Train the reference path on the parity dataset.
+
+    Loop semantics are main_1v_mc.py's (which inherits main_1v.py:59-110):
+    Adam(lr) RE-CREATED every epoch (the optimizer-reset quirk,
+    main_1v.py:60-62 — docs/QUIRKS.md), F.nll_loss on the model's
+    log_softmax, None-dropping collate, per-epoch eval in eval() mode.
+    Returns {"train_loss": [..], "test_acc": [..]}.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    dataset_mod, pointnet_mod = _load_reference_modules(root, reference_root)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+    def my_collate(batch):  # main_1v.py:48-50
+        batch = [b for b in batch if b is not None]
+        return torch.utils.data.dataloader.default_collate(batch)
+
+    def loader(tag, amount):
+        ds = dataset_mod.PointGraspOneViewMultiClassDataset(
+            grasp_points_num=num_points, grasp_amount_per_file=amount,
+            thresh_good=thresh_good, thresh_bad=thresh_bad, tag=tag)
+        return torch.utils.data.DataLoader(
+            ds, batch_size=batch_size, num_workers=num_workers,
+            shuffle=True, collate_fn=my_collate, drop_last=False)
+
+    train_loader = loader("train", grasp_amount_train)
+    test_loader = loader("test", grasp_amount_test)
+
+    model = pointnet_mod.PointNetCls(num_points=num_points, input_chann=3,
+                                     k=3)
+    history = {"train_loss": [], "test_acc": []}
+    for epoch in range(epochs):
+        optimizer = torch.optim.Adam(model.parameters(), lr=lr)  # the quirk
+        model.train()
+        losses = []
+        for data, target in train_loader:
+            data, target = data.float(), target.long()
+            optimizer.zero_grad()
+            output, _ = model(data)
+            loss = F.nll_loss(output, target)
+            loss.backward()
+            optimizer.step()
+            losses.append(float(loss))
+        model.eval()
+        correct = total = 0
+        with torch.no_grad():
+            for data, target in test_loader:
+                output, _ = model(data.float())
+                correct += int((output.argmax(1) == target.long()).sum())
+                total += len(target)
+        history["train_loss"].append(float(np.mean(losses)))
+        history["test_acc"].append(correct / max(total, 1))
+    return history
+
+
+# ---------------------------------------------------------------------------
+# This repo's trainer, same data / same semantics
+# ---------------------------------------------------------------------------
+
+
+def train_ours(root: str, *, epochs: int, batch_size: int = 64,
+               lr: float = 0.005, num_points: int = 750,
+               cloud_points: int = 12000, thresh_good: float = 0.5,
+               thresh_bad: float = 1.2, seed: int = 0,
+               reset_optimizer_each_epoch: bool = True,
+               steps_per_epoch: int | None = None,
+               eval_batch: int = 64):
+    """Train this repo's path (OneViewBatcher + fused crop train step) on
+    the identical dataset files, with the same batch/lr/epochs and (by
+    default) the same per-epoch optimizer reset as the reference loop.
+
+    Eval is deterministic over the FULL test split: every (object, row)
+    pair once per epoch, a random view per sample — the same estimator as
+    the reference's test() pass. Returns {"train_loss", "test_acc"}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.pointnet import init_pointnet_cls
+    from ..ops.crop import collect_grasp_clouds_batched
+    from ..training.data import (
+        GraspDataIndex, OneViewBatcher, labels_from_scores,
+    )
+    from ..training.train import (
+        init_train_state, make_eval_step, make_fused_train_step,
+        make_optimizer,
+    )
+
+    index = GraspDataIndex(root, tag="train")
+    test_index = GraspDataIndex(root, tag="test")
+    n_train = sum(
+        len(np.load(index.grasp_files[o])) for o in index.objects)
+    if steps_per_epoch is None:
+        steps_per_epoch = max(1, int(round(n_train / batch_size)))
+
+    batcher = OneViewBatcher(index, batch_size, cloud_points=cloud_points,
+                             num_classes=3, thresh_good=thresh_good,
+                             thresh_bad=thresh_bad, seed=seed)
+
+    tx = make_optimizer(lr, steps_per_epoch=steps_per_epoch)
+    params, bn_state = init_pointnet_cls(jax.random.PRNGKey(seed),
+                                         input_chann=3, k=3)
+    state = init_train_state(params, bn_state, tx)
+    train_step = make_fused_train_step(tx, num_points=num_points,
+                                       min_point_limit=50)
+    eval_step = make_eval_step()
+
+    # deterministic full-test-split eval set (object, row) pairs
+    test_rows, test_clouds_files = [], []
+    for o in test_index.objects:
+        rows = np.load(test_index.grasp_files[o])
+        files = test_index.cloud_files[test_index.transform[o][0]]
+        for r in rows:
+            test_rows.append(r)
+            test_clouds_files.append(files)
+    test_rows = np.asarray(test_rows, np.float32)
+    t_labels, t_weights = labels_from_scores(
+        test_rows[:, -2], test_rows[:, -1], thresh_good, thresh_bad, 3)
+
+    rng = np.random.RandomState(seed + 1)
+
+    def evaluate(st, key):
+        correct = total = 0.0
+        n = len(test_rows)
+        for s in range(0, n, eval_batch):
+            e = min(s + eval_batch, n)
+            b = e - s
+            grasps = np.zeros((eval_batch, 12), np.float32)
+            grasps[:b] = test_rows[s:e]
+            clouds = np.zeros((eval_batch, cloud_points, 3), np.float32)
+            for j in range(b):
+                files = test_clouds_files[s + j]
+                pc = np.load(files[rng.randint(len(files))])[:, :3]
+                idx = rng.choice(len(pc), cloud_points,
+                                 replace=len(pc) < cloud_points)
+                clouds[j] = pc[idx]
+            labels = np.zeros((eval_batch,), np.int32)
+            labels[:b] = t_labels[s:e]
+            weights = np.zeros((eval_batch,), np.float32)
+            weights[:b] = t_weights[s:e]
+            key, sub = jax.random.split(key)
+            transforms = np.tile(np.eye(4, dtype=np.float32),
+                                 (eval_batch, 1, 1))
+            cropped, _, crop_valid = collect_grasp_clouds_batched(
+                jnp.asarray(grasps), jnp.asarray(clouds),
+                jnp.asarray(transforms), sub, num_out=num_points,
+                min_point_limit=50)
+            w = jnp.asarray(weights) * crop_valid.astype(jnp.float32)
+            out = eval_step(st.params, st.bn_state, cropped,
+                            jnp.asarray(labels), w)
+            correct += float(out["correct"])
+            total += float(out["count"])
+        return correct / max(total, 1.0)
+
+    key = jax.random.PRNGKey(seed + 2)
+    history = {"train_loss": [], "test_acc": []}
+    for epoch in range(epochs):
+        if reset_optimizer_each_epoch:
+            state = state._replace(opt_state=tx.init(state.params))
+        losses = []
+        for _ in range(steps_per_epoch):
+            grasps, clouds, transforms, labels, weights = next(batcher)
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(
+                state, jnp.asarray(grasps), jnp.asarray(clouds),
+                jnp.asarray(transforms), jnp.asarray(labels),
+                jnp.asarray(weights), sub)
+            losses.append(float(metrics["loss"]))
+        key, sub = jax.random.split(key)
+        history["train_loss"].append(float(np.mean(losses)))
+        history["test_acc"].append(evaluate(state, sub))
+    batcher.close()
+    return history

@@ -23,7 +23,7 @@ from ..grasping.gripper import Gripper
 from ..grasping.samplers import gpg_sample_candidates
 from ..inference.scorer import GraspScorer
 from ..ops.cloud import estimate_normals_knn, voxel_downsample  # noqa: F401 (re-export)
-from ..ops.cloud import voxel_downsample_packed
+from ..ops.cloud import estimate_normals_knn_window, voxel_downsample_packed
 
 
 def remove_table_points(points: np.ndarray, z_thresh: float = 0.005,
@@ -68,16 +68,31 @@ class DetectorConfig:
     # downsample otherwise recompiles for every distinct raw frame size.
     # None: use cloud_pad_to (then warmup() covers both bucket families).
     raw_pad_to: int | None = None
+    # Morton-window KNN normals (O(P*window) instead of O(P^2)) kick in
+    # for clouds larger than this window; 0 disables (always all-pairs)
+    normal_window: int = 2048
 
 
 class GraspDetector:
-    """Scene cloud -> ranked good grasps, all-device pipeline."""
+    """Scene cloud -> ranked good grasps, all-device pipeline.
+
+    Multi-chip: construct the scorer with a ``jax.sharding.Mesh``
+    (``GraspScorer(mesh=...)``) and the WHOLE frame pipeline composes over
+    it — window-KNN normals shard the query-chunk axis, the GPG sampler
+    shard_maps the (seed x theta) frame axis, and scoring shards the
+    candidate axis, all against the replicated scene cloud (zero
+    collectives; the chip-level analogue of kinect2grasp.py's 20-process
+    fan-out, :157-173). Results equal single-device up to per-shard fusion
+    rounding; validated by ``__graft_entry__.dryrun_multichip`` and
+    tests/test_robot.py.
+    """
 
     def __init__(self, scorer: GraspScorer, gripper: Gripper = Gripper(),
                  config: DetectorConfig | None = None):
         self.scorer = scorer
         self.gripper = gripper
         self.cfg = config or DetectorConfig()
+        self.mesh = getattr(scorer, "mesh", None)  # GPD scorer has no mesh
         self.scorer.num_points = self.cfg.input_points_num
         self.scorer.repeat = self.cfg.repeat
         self.scorer.min_points = self.cfg.minimal_points_send_to_point_net
@@ -112,7 +127,15 @@ class GraspDetector:
         good grasps as (5, 3) frames [bottom_center, approach, binormal,
         minor, bottom_center_modified]. ``points`` in the result is the
         downsampled cloud as a DEVICE array (fetch with np.asarray if
-        needed — it is deliberately not pulled through the relay here)."""
+        needed — it is deliberately not pulled through the relay here).
+
+        Exactly ONE device->host transfer per frame: the size bucket is
+        derived host-side from the RAW point count (downsampled count <=
+        raw count, both bucket-padded), so the voxel count no longer needs
+        its own fetch before the pipeline runs — it rides the scorer's
+        combined fetch instead. On this relay a fetch costs 10-30 ms
+        regardless of size (docs/SCALING.md), about a third of the frame.
+        """
         cfg = self.cfg
         points = np.asarray(points, np.float32)
 
@@ -128,27 +151,42 @@ class GraspDetector:
                     [points, np.repeat(points[:1], raw_bucket - n_raw, 0)])
 
         # voxel downsample, compacted ON DEVICE (kinect2grasp.py:102-127);
-        # only the 4-byte count crosses the relay, not the cloud
+        # nothing crosses the relay here — the count rides the final fetch
         packed, count = voxel_downsample_packed(
             jnp.asarray(points), n_grid=cfg.n_voxel)
-        n_real = int(count)
 
-        # pad to a size bucket: dummy points far BELOW the table are never
-        # seeds (above-table filter), never in a closing region, and never
-        # the neighbor of a real point — one compile per bucket, not per
-        # frame. packed's tail is already the -1e6 sentinel.
-        bucket = max(-(-max(n_real, 1) // cfg.cloud_pad_to), 1) * cfg.cloud_pad_to
+        # size bucket from the RAW count (an upper bound on the voxel
+        # count): dummy sentinel points far BELOW the table are never seeds
+        # (above-table filter), never in a closing region, and never the
+        # neighbor of a real point — one compile per bucket, not per frame.
+        # packed's tail is already the -1e6 sentinel.
+        bucket = max(-(-max(n_raw, 1) // cfg.cloud_pad_to), 1) \
+            * cfg.cloud_pad_to
         if bucket <= packed.shape[0]:
             pts_dev = packed[:bucket]
         else:
             pts_dev = jnp.concatenate([
                 packed, jnp.full((bucket - packed.shape[0], 3), -1e6,
                                  packed.dtype)])
-        pts = pts_dev[:n_real]  # device view of the real cloud
 
-        # surface normals, camera-consistent (kinect2grasp.py:131-144)
-        normals = estimate_normals_knn(
-            pts_dev, jnp.asarray(cam_pos, jnp.float32), k=cfg.normal_k)
+        # surface normals, camera-consistent (kinect2grasp.py:131-144);
+        # Morton-window KNN for big buckets (near-linear in P), with the
+        # REAL cloud's bbox so the -1e6 sentinel tail can't collapse the
+        # Morton cells (it sorts to a corner and is never a neighbor)
+        cam = jnp.asarray(cam_pos, jnp.float32)
+        if cfg.normal_window and pts_dev.shape[0] > cfg.normal_window:
+            finite = pts_dev[:, 0] > -9.9e5
+            big = jnp.asarray(1e9, pts_dev.dtype)
+            lo = jnp.min(jnp.where(finite[:, None], pts_dev, big), axis=0)
+            hi = jnp.max(jnp.where(finite[:, None], pts_dev, -big), axis=0)
+            ok = jnp.any(finite)
+            lo = jnp.where(ok, lo, 0.0)
+            hi = jnp.where(ok, hi, 1.0)
+            normals = estimate_normals_knn_window(
+                pts_dev, cam, k=cfg.normal_k, window=cfg.normal_window,
+                bbox=(lo, hi), mesh=self.mesh)
+        else:
+            normals = estimate_normals_knn(pts_dev, cam, k=cfg.normal_k)
 
         # GPG candidates (kinect2grasp.py:154-173 -> grasp_sampler.py:1389+)
         key = jax.random.PRNGKey(seed)
@@ -156,7 +194,8 @@ class GraspDetector:
         cand = gpg_sample_candidates(
             pts_dev, normals, k_gpg, self.gripper,
             num_seeds=cfg.max_num_samples,
-            min_points_above_table=cfg.select_point_above_table)
+            min_points_above_table=cfg.select_point_above_table,
+            mesh=self.mesh)
         # compact valid candidates ON DEVICE (stable: original order) into a
         # FIXED num_grasps buffer (varying lengths would recompile the jitted
         # scorer every frame) with a validity mask; fetching all ~2850 GPG
@@ -170,11 +209,14 @@ class GraspDetector:
 
         # crop + batched scoring + vote + rank (kinect2grasp.py:443-514);
         # the padded cloud keeps the scorer's jit shape per-bucket stable.
-        # ONE device->host transfer for scores + frames + valid count.
-        result, (frames_np, n_valid) = self.scorer.score_candidates(
+        # ONE device->host transfer for scores + frames + valid count +
+        # voxel count (the frame's only fetch).
+        result, (frames_np, n_valid, n_real) = self.scorer.score_candidates(
             pts_dev, frames, hand_depth=self.gripper.hand_depth,
             width=self.gripper.open_width, seed=seed + 1,
-            valid=frame_valid, extra_fetch=(frames, n_valid_dev))
+            valid=frame_valid, extra_fetch=(frames, n_valid_dev, count))
+        n_real = int(n_real)
+        pts = pts_dev[:n_real]  # device view of the real cloud
         keep = min(cfg.num_grasps, int(n_valid))
         frames_np = frames_np[:keep]
         # good requires valid, so ranked indices are < keep by construction;

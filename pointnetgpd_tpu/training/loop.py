@@ -201,17 +201,16 @@ class Trainer:
             grasps, clouds, transforms, labels, weights = next(it)
             # eval uses the same fused crop path via a fresh key
             key, sub = jax.random.split(key)
-            from ..ops.crop import collect_grasp_clouds
+            from ..ops.crop import collect_grasp_clouds_batched
 
-            cropped, _, crop_valid = jax.vmap(
-                lambda g, pc, t, k: collect_grasp_clouds(
-                    g[None], pc, t, k, num_out=cfg.grasp_points_num,
-                    min_point_limit=cfg.min_point_limit)
-            )(jnp.asarray(grasps), jnp.asarray(clouds), jnp.asarray(transforms),
-              jax.random.split(sub, len(grasps)))
-            w = jnp.asarray(weights) * crop_valid[:, 0].astype(jnp.float32)
+            cropped, _, crop_valid = collect_grasp_clouds_batched(
+                jnp.asarray(grasps), jnp.asarray(clouds),
+                jnp.asarray(transforms), sub,
+                num_out=cfg.grasp_points_num,
+                min_point_limit=cfg.min_point_limit)
+            w = jnp.asarray(weights) * crop_valid.astype(jnp.float32)
             out = self.eval_step(self.state.params, self.state.bn_state,
-                                 cropped[:, 0], jnp.asarray(labels), w)
+                                 cropped, jnp.asarray(labels), w)
             for k_ in tot:
                 tot[k_] += float(out[k_])
         count = max(tot["count"], 1.0)

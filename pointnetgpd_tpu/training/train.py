@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.pointnet import apply_pointnet_cls
-from ..ops.crop import collect_grasp_clouds
+from ..ops.crop import collect_grasp_clouds, collect_grasp_clouds_batched
 
 
 class TrainState(NamedTuple):
@@ -58,9 +58,17 @@ def step_lr(base_lr: float, step_size: int = 30, gamma: float = 0.5):
 
 def make_optimizer(lr: float = 0.005, step_size: int = 30, gamma: float = 0.5,
                    steps_per_epoch: int = 1):
-    """Adam with the reference's intended StepLR decay."""
+    """Adam with the reference's intended StepLR decay.
+
+    Wrapped in ``optax.flatten``: the model's 44 parameter leaves would
+    otherwise lower the update to ~130 tiny elementwise kernels whose
+    launch overhead alone measured 3.2 ms/step on a v5e chip (vs ~0.3 ms
+    flattened — the moments live in one contiguous vector and the update
+    is a single fused elementwise pass). Semantics identical (Adam is
+    elementwise).
+    """
     sched = lambda step: lr * (gamma ** ((step // steps_per_epoch) // step_size))
-    return optax.adam(learning_rate=sched)
+    return optax.flatten(optax.adam(learning_rate=sched))
 
 
 def masked_nll_loss(log_probs, labels, weights):
@@ -117,7 +125,7 @@ def make_eval_step(*, dual: bool = False):
 
 
 def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
-                          dual: bool = False):
+                          dual: bool = False, compute_dtype=None):
     """Train step with the closing-region crop fused INTO the device program.
 
     Input is the raw per-sample data (grasp rows, per-sample view clouds,
@@ -125,29 +133,39 @@ def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
     on-device in the same jit as the forward/backward pass, replacing the
     reference's 32-process host dataloader crop (main_1v.py:125,
     dataset.py:15-76). label_weights masks samples the host already rejected
-    (skip-band scores); crop validity is ANDed in on device.
+    (skip-band scores); crop validity is ANDed in on device. The crop is the
+    batched rank-select program (collect_grasp_clouds_batched): one shared
+    shuffle amortized over the batch, per-sample rank windows.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``): mixed-precision forward +
+    backward — activations and the params' compute copies are cast, while
+    master params, gradients (cast back by astype's vjp), Adam moments, BN
+    statistics (see models/layers.batchnorm), and the loss stay fp32. The
+    step is HBM-bandwidth-bound on the two (B, N, 1024) trunk stages, so
+    halving activation bytes is the main single-chip lever (docs/SCALING.md
+    roofline). Default None = pure fp32 (bit-for-bit the parity semantics).
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, grasps, clouds, transforms, labels,
                    label_weights, key):
-        b = grasps.shape[0]
-        keys = jax.random.split(key, b)
-
-        def crop_one(grasp, pc, transform, k):
-            pts, counts, valid = collect_grasp_clouds(
-                grasp[None], pc, transform, k,
-                num_out=num_points, min_point_limit=min_point_limit,
-            )
-            return pts[0], valid[0]
-
-        cropped, crop_valid = jax.vmap(crop_one)(grasps, clouds, transforms, keys)
+        cropped, _, crop_valid = collect_grasp_clouds_batched(
+            grasps, clouds, transforms, key,
+            num_out=num_points, min_point_limit=min_point_limit,
+        )
         weights = label_weights * crop_valid.astype(label_weights.dtype)
 
         def loss_fn(params):
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda a: a.astype(compute_dtype), params)
+                x = cropped.astype(compute_dtype)
+            else:
+                x = cropped
             (logp, _), new_bn = apply_pointnet_cls(
-                params, state.bn_state, cropped, train=True, dual=dual
+                params, state.bn_state, x, train=True, dual=dual
             )
+            logp = logp.astype(jnp.float32)
             return masked_nll_loss(logp, labels, weights), (new_bn, logp)
 
         (loss, (new_bn, logp)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -294,3 +294,80 @@ class TestExtremeEigvecs:
             assert abs(abs(np.dot(vmax, nv)) - 1) < 1e-4  # normal recovered
             assert abs(np.dot(vmin, vmax)) < 1e-4         # orthogonal
             assert np.linalg.norm(np.cross(vmin, vmax)) > 0.99
+
+
+class TestWindowKnnNormals:
+    """Morton-window KNN normals (estimate_normals_knn_window): near-linear
+    in P, must agree with the exact all-pairs plane-fit normals."""
+
+    @staticmethod
+    def _tabletop(rng, n_obj=3, n=1500):
+        objs = []
+        for cx, cy in ((-0.2, -0.1), (0.15, 0.2), (0.05, -0.25))[:n_obj]:
+            top = rng.rand(n, 3) * [0.06, 0.06, 0] + [cx, cy, 0.08]
+            front = rng.rand(n, 3) * [0.06, 0, 0.06] + [cx, cy, 0.02]
+            side = rng.rand(n, 3) * [0, 0.06, 0.06] + [cx + 0.06, cy, 0.02]
+            objs.append(np.concatenate([top, front, side]))
+        return np.concatenate(objs).astype(np.float32)
+
+    def test_agrees_with_exact_on_tabletop(self):
+        from pointnetgpd_tpu.ops.cloud import estimate_normals_knn_window
+
+        rng = np.random.RandomState(5)
+        pts = self._tabletop(rng)                       # 13.5k points
+        cam = np.array([1.0, 1.0, 1.2], np.float32)
+        n_exact = np.asarray(estimate_normals_knn(
+            jnp.asarray(pts), jnp.asarray(cam), k=30, exact=True))
+        n_win = np.asarray(estimate_normals_knn_window(
+            jnp.asarray(pts), jnp.asarray(cam), k=30, window=2048))
+        cos = np.abs(np.sum(n_exact * n_win, axis=1))
+        assert np.mean(cos > 0.99) > 0.97               # same plane fits
+        assert np.quantile(cos, 0.02) > 0.9
+        # camera-consistent flip preserved
+        flip_agree = np.sum(n_exact * n_win, axis=1) > 0
+        assert np.mean(flip_agree) > 0.98
+
+    def test_sphere_radial(self):
+        from pointnetgpd_tpu.ops.cloud import estimate_normals_knn_window
+
+        rng = np.random.RandomState(6)
+        v = rng.randn(6000, 3).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = 0.1 * v
+        cam = np.array([0.0, 0.0, 10.0], np.float32)
+        normals = np.asarray(estimate_normals_knn_window(
+            jnp.asarray(pts), jnp.asarray(cam), k=12, window=1024))
+        cos = np.abs(np.sum(normals * v, axis=1))
+        assert np.quantile(cos, 0.1) > 0.95
+        top = v[:, 2] > 0.5
+        assert normals[top, 2].min() > 0
+
+    def test_small_cloud_falls_back(self):
+        from pointnetgpd_tpu.ops.cloud import estimate_normals_knn_window
+
+        rng = np.random.RandomState(7)
+        pts = np.zeros((300, 3), np.float32)
+        pts[:, :2] = rng.rand(300, 2)
+        n = np.asarray(estimate_normals_knn_window(
+            jnp.asarray(pts), jnp.asarray([0.5, 0.5, 1.0]), k=15,
+            window=2048))
+        assert n[:, 2].min() > 0.99
+
+    def test_sentinel_padding_with_bbox(self):
+        """The detector's -1e6 sentinel tail must not poison real normals
+        when the real bbox is passed."""
+        from pointnetgpd_tpu.ops.cloud import estimate_normals_knn_window
+
+        rng = np.random.RandomState(8)
+        pts = self._tabletop(rng, n_obj=2)              # 9k real
+        pad = np.full((4096, 3), -1e6, np.float32)
+        both = np.concatenate([pts, pad])
+        cam = np.array([1.0, 1.0, 1.2], np.float32)
+        lo, hi = pts.min(0), pts.max(0)
+        n_pad = np.asarray(estimate_normals_knn_window(
+            jnp.asarray(both), jnp.asarray(cam), k=30, window=2048,
+            bbox=(lo, hi)))[:len(pts)]
+        n_ref = np.asarray(estimate_normals_knn_window(
+            jnp.asarray(pts), jnp.asarray(cam), k=30, window=2048))
+        cos = np.abs(np.sum(n_pad * n_ref, axis=1))
+        assert np.mean(cos > 0.99) > 0.95

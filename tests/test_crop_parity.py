@@ -311,3 +311,110 @@ class TestPrefixRankSelect:
         sel_mean = points[0][:, 0].mean()
         spread = d[m, 0].std()
         assert abs(sel_mean - region_mean) < spread / 2
+
+
+class TestBatchedPerCloudCrop:
+    """collect_grasp_clouds_batched: the training path's one-program crop
+    (sample i crops its OWN cloud) must keep the exact crop semantics of the
+    per-sample path."""
+
+    @staticmethod
+    def _batch(rng, b=24, p=3000):
+        grasps = np.stack([_random_grasp(rng) for _ in range(b)]).astype(
+            np.float32)
+        clouds = (rng.randn(b, p, 3) * 0.05).astype(np.float32)
+        transforms = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+        theta = 0.3
+        transforms[::2, :3, :3] = np.array(
+            [[np.cos(theta), -np.sin(theta), 0],
+             [np.sin(theta), np.cos(theta), 0], [0, 0, 1]], np.float32)
+        transforms[::2, :3, 3] = [0.01, -0.02, 0.005]
+        return grasps, clouds, transforms
+
+    def test_counts_and_membership_vs_oracle(self):
+        from pointnetgpd_tpu.ops.crop import collect_grasp_clouds_batched
+
+        rng = np.random.RandomState(7)
+        grasps, clouds, transforms = self._batch(rng)
+        points, counts, valid = collect_grasp_clouds_batched(
+            jnp.asarray(grasps), jnp.asarray(clouds),
+            jnp.asarray(transforms), jax.random.PRNGKey(0), num_out=128,
+            min_point_limit=50)
+        points, counts, valid = map(np.asarray, (points, counts, valid))
+        assert valid.sum() > 0
+        for i in range(len(grasps)):
+            mask, pc_t = _ref_membership(
+                grasps[i].astype(np.float64),
+                clouds[i].astype(np.float64),
+                transforms[i].astype(np.float64))
+            assert counts[i] == mask.sum()
+            assert valid[i] == (mask.sum() >= 50)
+            if valid[i]:
+                members = pc_t[mask]
+                d = np.linalg.norm(points[i][:, None] - members[None],
+                                   axis=-1)
+                assert d.min(axis=1).max() < 1e-4
+
+    def test_counts_match_per_sample_path(self):
+        """Membership is deterministic: the batched program's counts must
+        equal vmapped collect_grasp_clouds' counts exactly."""
+        from pointnetgpd_tpu.ops.crop import collect_grasp_clouds_batched
+
+        rng = np.random.RandomState(8)
+        grasps, clouds, transforms = self._batch(rng, b=16)
+        _, counts_b, valid_b = collect_grasp_clouds_batched(
+            jnp.asarray(grasps), jnp.asarray(clouds),
+            jnp.asarray(transforms), jax.random.PRNGKey(1), num_out=64,
+            min_point_limit=50)
+        keys = jax.random.split(jax.random.PRNGKey(2), len(grasps))
+        _, counts_s, valid_s = jax.vmap(
+            lambda g, pc, t, k: collect_grasp_clouds(
+                g[None], pc, t, k, num_out=64, min_point_limit=50)
+        )(jnp.asarray(grasps), jnp.asarray(clouds), jnp.asarray(transforms),
+          keys)
+        np.testing.assert_array_equal(np.asarray(counts_b),
+                                      np.asarray(counts_s)[:, 0])
+        np.testing.assert_array_equal(np.asarray(valid_b),
+                                      np.asarray(valid_s)[:, 0])
+
+    def test_without_replacement_distinct_and_small_cloud(self):
+        from pointnetgpd_tpu.ops.crop import collect_grasp_clouds_batched
+
+        rs = np.random.RandomState(9)
+        b = 4
+        grasps = np.zeros((b, 12), np.float32)
+        grasps[:, 3:6] = [0, 1, 0]
+        grasps[:, 6] = 0.15
+        clouds = rs.randn(b, 2000, 3).astype(np.float32) * 0.01
+        # sample 2: tiny in-region set (with-replacement branch)
+        clouds[2, 60:] += 5.0
+        transforms = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+        points, counts, valid = collect_grasp_clouds_batched(
+            jnp.asarray(grasps), jnp.asarray(clouds),
+            jnp.asarray(transforms), jax.random.PRNGKey(5), num_out=128,
+            min_point_limit=50)
+        points, counts, valid = map(np.asarray, (points, counts, valid))
+        assert valid.all()
+        for i in (0, 1, 3):
+            assert counts[i] > 128
+            assert len(np.unique(points[i], axis=0)) == 128
+        assert 50 <= counts[2] < 128
+        assert len(np.unique(points[2], axis=0)) <= counts[2]
+
+    def test_cloud_smaller_than_block(self):
+        """P < 128 (one rank block, heavy padding) stays exact."""
+        from pointnetgpd_tpu.ops.crop import collect_grasp_clouds_batched
+
+        rs = np.random.RandomState(10)
+        grasps = np.zeros((2, 12), np.float32)
+        grasps[:, 3:6] = [0, 1, 0]
+        grasps[:, 6] = 0.3
+        clouds = rs.randn(2, 70, 3).astype(np.float32) * 0.01
+        transforms = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        points, counts, valid = collect_grasp_clouds_batched(
+            jnp.asarray(grasps), jnp.asarray(clouds),
+            jnp.asarray(transforms), jax.random.PRNGKey(6), num_out=32,
+            min_point_limit=10)
+        counts = np.asarray(counts)
+        assert (counts == 70).all()  # wide box catches every point
+        assert np.isfinite(np.asarray(points)).all()

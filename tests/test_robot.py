@@ -81,6 +81,45 @@ class TestGraspDetector:
         if len(out["scores"]) > 1:
             assert (np.diff(out["scores"]) <= 1e-7).all()
 
+    def test_sharded_detector_matches_single_device(self):
+        """The full frame pipeline composed over the 8-device mesh (sharded
+        normals + GPG + scoring) must match the single-device detector up
+        to per-shard fusion rounding."""
+        from pointnetgpd_tpu.grasping.gripper import Gripper
+        from pointnetgpd_tpu.inference.scorer import GraspScorer
+        from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+        from pointnetgpd_tpu.parallel.mesh import make_mesh
+        from pointnetgpd_tpu.robot.node import DetectorConfig, GraspDetector
+
+        rng = np.random.RandomState(1)
+        n = 700
+        top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+        front = rng.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
+        side = rng.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+        pts = np.concatenate([top, front, side]).astype(np.float32)
+        pts[:, :2] -= 0.03
+        cam = np.array([0.5, 0.5, 1.0], np.float32)
+
+        params, state = init_pointnet_cls(jax.random.PRNGKey(0),
+                                          input_chann=3, k=3)
+        cfg = dict(num_grasps=16, max_num_samples=32, input_points_num=128,
+                   minimal_points_send_to_point_net=5, cloud_pad_to=1024,
+                   normal_window=512)
+        outs = {}
+        for name, mesh in (("single", None), ("sharded", make_mesh())):
+            scorer = GraspScorer(params=params, state=state, k=3,
+                                 num_points=128, pad_to=8, min_points=5,
+                                 mesh=mesh)
+            det = GraspDetector(scorer, Gripper(),
+                                DetectorConfig(**cfg))
+            outs[name] = det.process_frame(pts, cam, seed=0)
+        a, b = outs["single"], outs["sharded"]
+        assert len(a["all_frames"]) == len(b["all_frames"])
+        np.testing.assert_allclose(a["all_frames"], b["all_frames"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(a["all_scores"], b["all_scores"],
+                                   atol=1e-4)
+
 
 class _AutoNS:
     """Attribute-auto-vivifying stand-in for ROS message structs."""

@@ -51,7 +51,11 @@ def test_fused_train_step_learns_on_dp_mesh():
     loss must drop over a few steps on learnable synthetic data."""
     assert jax.device_count() == 8
     mesh = make_mesh()
-    data = SyntheticGraspData(batch_size=16, cloud_points=512, num_classes=2)
+    # learnable=True: labels carry a geometric signature, so the loss trend
+    # tests actual learning rather than class-prior fitting (which is too
+    # seed-sensitive at batch 16 to assert on)
+    data = SyntheticGraspData(batch_size=16, cloud_points=512, num_classes=2,
+                              learnable=True)
     state, tx = _tiny_state(k=2, lr=0.003)
     state = replicate_tree(state, mesh)
     step_fn = make_fused_train_step(tx, num_points=64, min_point_limit=5)
@@ -73,6 +77,31 @@ def test_fused_train_step_learns_on_dp_mesh():
     assert np.mean(losses[8:]) < np.mean(losses[:8])  # it learns something
     assert min(losses) < 0.7 * losses[0]
     assert int(state.step) == 16
+
+
+def test_fused_train_step_bf16_learns_masters_stay_f32():
+    """Mixed-precision step (compute_dtype=bf16): loss drops on learnable
+    data; master params, Adam moments, and BN stats all remain fp32."""
+    data = SyntheticGraspData(batch_size=16, cloud_points=512, num_classes=2,
+                              learnable=True, seed=3)
+    state, tx = _tiny_state(k=2, lr=0.003)
+    step_fn = make_fused_train_step(tx, num_points=64, min_point_limit=5,
+                                    compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(16):
+        batch = tuple(map(jnp.asarray, data.next_batch()))
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, *batch, sub)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert np.mean(losses[8:]) < np.mean(losses[:8])
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.bn_state):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.opt_state):
+        assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
 
 
 def test_dp_matches_single_device():
