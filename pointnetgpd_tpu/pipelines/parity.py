@@ -383,7 +383,7 @@ def train_ours(root: str, *, epochs: int, batch_size: int = 64,
     t_labels, t_weights = labels_from_scores(
         test_rows[:, -2], test_rows[:, -1], thresh_good, thresh_bad, 3)
 
-    rng = np.random.RandomState(seed + 1)
+    rng = np.random.RandomState(seed + 1)  # eval view/subsample draws
 
     def evaluate(st, key):
         correct = total = 0.0

@@ -229,3 +229,74 @@ class TestWrenchSpanOracle:
             # at wrench_norm_thresh=1e-4; FISTA must agree with the oracle
             in_span_oracle = best < 1e-4
             assert bool(ok) == in_span_oracle, (trial, best, bool(ok))
+
+
+class TestFerrariCanny6DDevice:
+    """Device-native 6-D epsilon metric (multi-start facet descent) vs the
+    host qhull path, on realistic grasp wrench sets."""
+
+    @staticmethod
+    def _wrench_set(rng, extra_contacts=1, cone_faces=8, mu=0.5,
+                    torque_scale=10.0):
+        """Friction-cone wrench rows: an antipodal contact pair (+noise)
+        plus extra random sphere contacts — the same cone/torque rows
+        grasp_matrix consumers build; 3 contacts give full-rank wrench
+        hulls with the origin interior (measured host eps ~0.04-0.06)."""
+        rows = []
+        p = rng.randn(3)
+        p = 0.05 * p / np.linalg.norm(p)
+        pts = [p, -p]
+        for _ in range(extra_contacts):
+            q = rng.randn(3)
+            pts.append(0.05 * q / np.linalg.norm(q))
+        for pt in pts:
+            n = -pt / np.linalg.norm(pt) + 0.1 * rng.randn(3)
+            n = n / np.linalg.norm(n)
+            t1 = np.cross(n, [1.0, 0, 0])
+            if np.linalg.norm(t1) < 1e-6:
+                t1 = np.cross(n, [0, 1.0, 0])
+            t1 /= np.linalg.norm(t1)
+            t2 = np.cross(n, t1)
+            for j in range(cone_faces):
+                th = 2 * np.pi * j / cone_faces
+                f = n + mu * (np.cos(th) * t1 + np.sin(th) * t2)
+                tau = np.cross(pt, f) * torque_scale
+                rows.append(np.concatenate([f, tau]))
+        return np.asarray(rows, np.float32)
+
+    @pytest.mark.slow
+    def test_matches_host_qhull_path(self):
+        from pointnetgpd_tpu.grasping.quality import (
+            ferrari_canny_l1, ferrari_canny_l1_device,
+        )
+
+        rng = np.random.RandomState(0)
+        checked = 0
+        for trial in range(10):
+            g6 = self._wrench_set(rng, extra_contacts=1 + trial % 2)
+            host = float(ferrari_canny_l1(g6))
+            dev = float(ferrari_canny_l1_device(g6))
+            if host <= 1e-3:
+                # origin outside / marginal: both must report ~0
+                assert dev <= 2e-3, (trial, host, dev)
+            else:
+                checked += 1
+                assert abs(dev - host) <= 0.05 * host + 1e-4, \
+                    (trial, host, dev)
+        assert checked >= 5  # enough nonzero cases exercised
+
+    def test_origin_outside_is_zero(self):
+        from pointnetgpd_tpu.grasping.quality import ferrari_canny_l1_device
+
+        rng = np.random.RandomState(1)
+        g6 = rng.rand(16, 6).astype(np.float32) + 1.0  # all-positive orthant
+        assert float(ferrari_canny_l1_device(g6)) == 0.0
+
+    def test_simplex_exact(self):
+        """Regular cross-polytope: epsilon is the distance to a facet of
+        conv(+-e_i) = 1/sqrt(6), known in closed form."""
+        from pointnetgpd_tpu.grasping.quality import ferrari_canny_l1_device
+
+        g6 = np.concatenate([np.eye(6), -np.eye(6)]).astype(np.float32)
+        dev = float(ferrari_canny_l1_device(g6))
+        assert abs(dev - 1.0 / np.sqrt(6)) < 2e-3, dev
