@@ -341,6 +341,41 @@ def _six_subsets(m: int) -> np.ndarray:
                       dtype=np.int32)
 
 
+def _solve_ones_batched(p):
+    """Solve P n = 1 for batched (T, 6, 6) systems via unrolled
+    Gauss-Jordan with partial pivoting, in pure elementwise/where ops.
+
+    jnp.linalg.solve's batched LU lowering is the whole cost of the facet
+    enumeration on TPU (measured ~245 ms per 24-row grasp = 134k systems);
+    six unrolled elimination steps over a (T, 6, 7) augmented tensor are
+    plain VPU arithmetic. Singular systems produce non-finite rows, which
+    the caller's isfinite mask rejects (planes through the origin cannot
+    be facets of an origin-interior hull).
+    """
+    t, d, _ = p.shape
+    a = jnp.concatenate([p, jnp.ones((t, d, 1), p.dtype)], axis=2)
+    rows = jnp.arange(d)
+    for k in range(d):
+        col = jnp.abs(a[:, :, k])
+        col = jnp.where(rows[None, :] < k, -1.0, col)
+        piv = jnp.argmax(col, axis=1)                       # (T,)
+        prow = jnp.take_along_axis(
+            a, piv[:, None, None].astype(jnp.int32)
+            * jnp.ones((1, 1, d + 1), jnp.int32), axis=1)[:, 0]   # (T, 7)
+        krow = a[:, k]
+        onehot_p = (rows[None, :] == piv[:, None])[..., None]
+        onehot_k = (rows[None, :] == k)[..., None]
+        a = jnp.where(onehot_p, krow[:, None, :], a)        # swap k <-> piv
+        a = jnp.where(onehot_k, prow[:, None, :], a)
+        pivval = prow[:, k:k + 1]
+        f = a[:, :, k] / jnp.where(jnp.abs(pivval) < 1e-30,
+                                   jnp.inf, pivval)
+        f = jnp.where(rows[None, :] == k, 0.0, f)           # keep row k
+        a = a - f[:, :, None] * a[:, k:k + 1, :]
+    diag = a[:, rows, rows]
+    return a[:, :, d] / diag
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _boundary_distance_6d(g6, chunk: int = 16384):
     """Distance from the origin to the BOUNDARY of conv(g6) for an
@@ -368,13 +403,10 @@ def _boundary_distance_6d(g6, chunk: int = 16384):
     if pad:  # cyclic tile: duplicates only re-test the same planes
         subsets = np.resize(subsets, (t_total + pad, 6))
     subs = jnp.asarray(subsets).reshape(-1, chunk, 6)
-    ones = jnp.ones((d,), g6.dtype)
 
     def one_chunk(idx):
         pts = g6[idx]                          # (chunk, 6, 6)
-        n = jnp.linalg.solve(
-            pts, jnp.broadcast_to(ones, (idx.shape[0], d))[..., None]
-        )[..., 0]
+        n = _solve_ones_batched(pts)
         # full-precision side test: default-precision bf16 MXU passes carry
         # ~1e-3 error in <n, w>, which rejects genuine facets (offsets are
         # scaled to 1) and overestimates epsilon (measured 0.078 vs the

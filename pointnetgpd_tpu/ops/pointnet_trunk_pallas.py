@@ -18,11 +18,17 @@ Training keeps the autodiffable jnp path; this kernel serves batched
 inference. Numerics match the unfused eval forward to fp32 tolerance
 (tests/test_pallas_trunk.py, interpret mode on CPU + real TPU when available).
 
-Measured on one v5e chip at the scorer's shapes (B=512, N=750): XLA 0.043 ms,
-this kernel 0.050 ms, outputs bit-identical — XLA's automatic fusion already
-keeps the trunk MXU-bound at these sizes, so the jnp path remains the product
-default and the kernel documents the VMEM-resident alternative (it wins only
-when N grows past what HBM-backed fusion tolerates).
+STATUS: documented negative result — NOT wired into any product path.
+Measured on one v5e chip at the scorer's shapes (B=512, N=750),
+fetch-bounded (round-3 re-measurement; the numbers previously here were
+round-1 dispatch-only artifacts): XLA 1.92 ms, this kernel 2.92 ms,
+outputs bit-identical. The trunk is NOT HBM-bound at these sizes — a bf16
+variant of the XLA path measures the same 1.9 ms, i.e. the wall is the
+~54 TFLOP/s pace of K<=128-contraction matmuls, which a VMEM-resident
+schedule cannot raise (it only removes bandwidth that wasn't the
+bottleneck, and its per-sample grid serializes what XLA overlaps). The
+jnp path is the product default; this file stays as the measured
+refutation + the fold_bn/fold_trunk_params helpers.
 """
 
 from __future__ import annotations
