@@ -65,6 +65,7 @@ from .samplers import (
 )
 from .surface_window import (
     SurfaceWindow,
+    bilateral_denoise,
     surface_information,
     surface_window_projection,
     surface_window_sdf,
