@@ -266,7 +266,15 @@ def bench_frame_pipeline():
     n_it = 5
     for i in range(n_it):
         det.process_frame(pts, cam, seed=i)  # host-blocking (fetches inside)
-    return (time.perf_counter() - t0) / n_it * 1e3
+    serial_ms = (time.perf_counter() - t0) / n_it * 1e3
+
+    # pipelined stream: one frame in flight (process_frames); on a real TPU
+    # host this hides the fetch round trip — measure what THIS relay gives
+    t0 = time.perf_counter()
+    n_done = sum(1 for _ in det.process_frames(
+        (pts for _ in range(n_it)), cam, start_seed=100))
+    piped_ms = (time.perf_counter() - t0) / n_done * 1e3
+    return serial_ms, piped_ms
 
 
 def bench_reference_torch():
@@ -318,9 +326,9 @@ def main():
     except Exception:
         vox = None
     try:
-        frame_ms = bench_frame_pipeline()
+        frame_ms, frame_piped_ms = bench_frame_pipeline()
     except Exception:
-        frame_ms = None
+        frame_ms = frame_piped_ms = None
     baseline = bench_reference_torch()
     result = {
         "metric": "grasp_candidates_scored_per_sec_750pt",
@@ -338,6 +346,7 @@ def main():
             "voxelizer_pallas_ms_100cube_8192tri": round(vox[0], 1) if vox else None,
             "voxelizer_pallas_speedup_vs_xla": round(vox[1], 2) if vox else None,
             "online_frame_ms_18k_tabletop_150_seeds": round(frame_ms, 1) if frame_ms else None,
+            "online_frame_pipelined_ms": round(frame_piped_ms, 1) if frame_piped_ms else None,
         },
     }
     print(json.dumps(result))

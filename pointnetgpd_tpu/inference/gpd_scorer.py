@@ -26,7 +26,7 @@ from ..models.gpd import apply_gpd_classifier
 from ..ops.cloud import estimate_normals_knn
 from ..ops.crop import collect_candidate_clouds
 from ..ops.projection import gpd_projection_features
-from .scorer import _round_up
+from .scorer import PendingScore, _round_up
 
 
 @functools.partial(jax.jit, static_argnames=("num_points", "project_chann",
@@ -85,6 +85,15 @@ class GPDScorer:
 
     def score_candidates(self, pc, candidates, hand_depth, width,
                          seed: int = 0, valid=None, extra_fetch=None):
+        return self.collect(self.dispatch_candidates(
+            pc, candidates, hand_depth, width, seed=seed, valid=valid,
+            extra_fetch=extra_fetch))
+
+    def dispatch_candidates(self, pc, candidates, hand_depth, width,
+                            seed: int = 0, valid=None, extra_fetch=None):
+        """Dispatch-only half (same split as GraspScorer.dispatch_candidates
+        / collect, so GraspDetector.process_frames can pipeline either
+        scorer)."""
         on_device = isinstance(candidates, jax.Array)
         if on_device:
             # device fast path (same contract as GraspScorer): the online
@@ -102,9 +111,8 @@ class GPDScorer:
                      "counts": np.zeros((0,), np.int32),
                      "valid": np.zeros((0,), bool),
                      "good_indices": np.zeros((0,), np.int64)}
-            if extra_fetch is not None:
-                return empty, jax.device_get(extra_fetch)
-            return empty
+            return PendingScore(out=None, extra_fetch=extra_fetch, g=0,
+                                empty=empty)
         g_pad = max(_round_up(g, self.pad_to), self.pad_to)
         pad_frame = np.zeros((g_pad - g, 5, 3), np.float32)
         pad_frame[:, 1] = [1, 0, 0]
@@ -128,6 +136,15 @@ class GPDScorer:
             jnp.float32(width), jax.random.PRNGKey(seed),
             num_points=self.num_points, project_chann=self.project_chann,
             min_points=self.min_points, knn_k=self.knn_k)
+        return PendingScore(out=out, extra_fetch=extra_fetch, g=g)
+
+    def collect(self, pending: PendingScore):
+        """Fetch half: one device->host transfer + host postprocess."""
+        if pending.out is None:
+            if pending.extra_fetch is not None:
+                return pending.empty, jax.device_get(pending.extra_fetch)
+            return pending.empty
+        g, out, extra_fetch = pending.g, pending.out, pending.extra_fetch
         if extra_fetch is not None:
             (pred, prob, counts, valid, good, order), extras = \
                 jax.device_get((out, extra_fetch))

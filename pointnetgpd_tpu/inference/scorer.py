@@ -32,6 +32,25 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+@dataclass
+class PendingScore:
+    """Handle for a dispatched-but-not-fetched scene score.
+
+    ``GraspScorer.dispatch_candidates`` enqueues the device program and
+    returns one of these; ``GraspScorer.collect`` performs the single
+    device->host transfer and host postprocess. Splitting the two lets a
+    caller overlap the relay fetch of scene N with the device compute of
+    scene N+1 (see ``robot/node.py GraspDetector.process_frames``) — on a
+    real TPU host the fetch is asynchronous with unrelated device work, so
+    one-in-flight pipelining hides the host round trip entirely.
+    """
+
+    out: Any                 # device tuple from score_candidates_fused (or None)
+    extra_fetch: Any         # caller pytree riding the same transfer (or None)
+    g: int                   # real (unpadded) candidate count
+    empty: dict | None = None  # precomputed result for the 0-candidate case
+
+
 @functools.partial(jax.jit, static_argnames=("dual", "num_points", "repeat"))
 def score_cloud_batch(params, state, clouds, valid, key, *,
                       dual: bool = False, num_points: int = 500, repeat: int = 1):
@@ -239,6 +258,16 @@ class GraspScorer:
         order of "good" candidates (kinect2grasp.py:500-514 semantics);
         with ``extra_fetch``, returns (dict, fetched_extras).
         """
+        return self.collect(self.dispatch_candidates(
+            pc, candidates, hand_depth, width, seed=seed, valid=valid,
+            extra_fetch=extra_fetch))
+
+    def dispatch_candidates(self, pc, candidates, hand_depth, width,
+                            seed: int = 0, valid=None, extra_fetch=None):
+        """Dispatch-only half of ``score_candidates``: enqueue the fused
+        device program and return a ``PendingScore`` WITHOUT any
+        device->host transfer. Pair with ``collect``; lets callers keep one
+        scene in flight while fetching the previous one's results."""
         on_device = isinstance(candidates, jax.Array)
         if on_device:
             # device fast path: the online pipeline's candidates never leave
@@ -256,9 +285,8 @@ class GraspScorer:
                 "valid": np.zeros((0,), bool),
                 "good_indices": np.zeros((0,), np.int64),
             }
-            if extra_fetch is not None:
-                return empty, jax.device_get(extra_fetch)
-            return empty
+            return PendingScore(out=None, extra_fetch=extra_fetch, g=0,
+                                empty=empty)
         g = cand.shape[0]
         g_pad = max(_round_up(g, self.pad_to), self.pad_to)
         # pad with unit frames to keep normalize() well-defined
@@ -288,6 +316,18 @@ class GraspScorer:
             dual=self.dual, num_points=self.num_points, repeat=self.repeat,
             min_points=self.min_points,
         )
+        return PendingScore(out=out, extra_fetch=extra_fetch, g=g)
+
+    def collect(self, pending: PendingScore):
+        """Fetch half of ``score_candidates``: ONE device->host transfer for
+        the whole output tuple (plus any caller-bundled extras), then host
+        postprocess. Returns the same dict (or (dict, extras)) as
+        ``score_candidates``."""
+        if pending.out is None:  # empty-scene dispatch
+            if pending.extra_fetch is not None:
+                return pending.empty, jax.device_get(pending.extra_fetch)
+            return pending.empty
+        g, out, extra_fetch = pending.g, pending.out, pending.extra_fetch
         # one device_get for all outputs: device->host transfers dominate the
         # per-scene latency on tunneled TPUs, so fetch the whole tuple at once
         # (including any caller-bundled extras)

@@ -136,6 +136,16 @@ class GraspDetector:
         combined fetch instead. On this relay a fetch costs 10-30 ms
         regardless of size (docs/SCALING.md), about a third of the frame.
         """
+        return self.collect_frame(self.dispatch_frame(points, cam_pos, seed))
+
+    def dispatch_frame(self, points: np.ndarray, cam_pos: np.ndarray,
+                       seed: int = 0):
+        """Dispatch-only half of ``process_frame``: enqueue the whole frame
+        pipeline (downsample -> normals -> GPG -> crop+score) and return a
+        pending handle with ZERO device->host transfers. Pair with
+        ``collect_frame``; ``process_frames`` uses the split to keep one
+        frame in flight so the device computes frame N+1 while the host
+        waits out frame N's relay fetch."""
         cfg = self.cfg
         points = np.asarray(points, np.float32)
 
@@ -210,11 +220,19 @@ class GraspDetector:
         # crop + batched scoring + vote + rank (kinect2grasp.py:443-514);
         # the padded cloud keeps the scorer's jit shape per-bucket stable.
         # ONE device->host transfer for scores + frames + valid count +
-        # voxel count (the frame's only fetch).
-        result, (frames_np, n_valid, n_real) = self.scorer.score_candidates(
+        # voxel count (the frame's only fetch) — deferred to collect_frame.
+        pending = self.scorer.dispatch_candidates(
             pts_dev, frames, hand_depth=self.gripper.hand_depth,
             width=self.gripper.open_width, seed=seed + 1,
             valid=frame_valid, extra_fetch=(frames, n_valid_dev, count))
+        return pending, pts_dev
+
+    def collect_frame(self, dispatched):
+        """Fetch half of ``process_frame``: performs the frame's single
+        device->host transfer and the host postprocess."""
+        cfg = self.cfg
+        pending, pts_dev = dispatched
+        result, (frames_np, n_valid, n_real) = self.scorer.collect(pending)
         n_real = int(n_real)
         pts = pts_dev[:n_real]  # device view of the real cloud
         keep = min(cfg.num_grasps, int(n_valid))
@@ -233,20 +251,44 @@ class GraspDetector:
             "points": pts,
         }
 
+    def process_frames(self, frames_iter, cam_pos, start_seed: int = 0):
+        """Pipelined frame stream: yields ``process_frame`` results for each
+        cloud in ``frames_iter``, keeping ONE frame in flight — frame N+1 is
+        dispatched before frame N's fetch, so the device computes the next
+        frame while the host waits out the relay round trip and runs the
+        numpy postprocess. On a real TPU host this hides the fetch latency
+        entirely; on the tunneled relay here the fetch drains the whole
+        device queue, so the overlap is limited to host-side work (measured
+        honestly in bench.py ``frame_pipelined_fps``). Adds one frame of
+        result latency relative to the serial loop."""
+        pending = None
+        for i, points in enumerate(frames_iter):
+            nxt = self.dispatch_frame(points, np.asarray(cam_pos, np.float32),
+                                      seed=start_seed + i)
+            if pending is not None:
+                yield self.collect_frame(pending)
+            pending = nxt
+        if pending is not None:
+            yield self.collect_frame(pending)
+
 
 def run_ros_node(detector: GraspDetector, cam_pos, *,
                  cloud_topic: str = "/table_top_points",
                  marker_topic: str = "gripper_vis",
                  grasp_topic: str = "/detect_grasps/clustered_grasps",
                  rate_hz: float = 10.0, publish_all: bool = False,
-                 max_frames: int | None = None):
+                 max_frames: int | None = None, pipeline: bool = False):
     """ROS wrapper: same topics/params as the reference node
     (kinect2grasp.py:400-424 setup, :412-418 robot_at_home gating, :516-553
     output: markers for every ranked good grasp, then the BEST grasp as a
     single-element GraspConfigList — the reference comments out the full-list
     publish; ``publish_all=True`` restores it). Requires rospy +
     gpd_grasp_msgs + visualization_msgs at runtime. ``max_frames`` bounds the
-    number of processed frames (None = run until shutdown)."""
+    number of processed frames (None = run until shutdown).
+
+    ``pipeline=True`` keeps one frame in flight (dispatch frame N+1 before
+    fetching frame N's results — GraspDetector.process_frames semantics):
+    higher frame throughput at the cost of one frame of publish latency."""
     import rospy
     from gpd_grasp_msgs.msg import GraspConfigList
     from sensor_msgs.msg import PointCloud2
@@ -263,7 +305,20 @@ def run_ros_node(detector: GraspDetector, cam_pos, *,
     # equivalent (robot/robot_state.py) overwrites it on a real robot
     rospy.set_param("/robot_at_home", "true")
 
+    def publish(out):
+        if len(out["grasps"]) == 0:
+            rospy.loginfo("No good grasps this frame.")
+            return
+        pub_markers.publish(
+            gripper_marker_array(out["grasps"], detector.gripper))
+        n_pub = len(out["grasps"]) if publish_all else 1
+        pub_grasps.publish(grasp_config_list_msg(
+            out["grasps"][:n_pub], out["scores"][:n_pub]))
+        rospy.loginfo("Published %d of %d ranked grasps",
+                      n_pub, len(out["grasps"]))
+
     seed = frames = 0
+    pending = None
     while not rospy.is_shutdown():
         if rospy.get_param("/robot_at_home") == "false":
             rospy.loginfo("Robot is moving, waiting for it to go home.")
@@ -273,20 +328,20 @@ def run_ros_node(detector: GraspDetector, cam_pos, *,
         frames += 1
         if msg.data:
             points = pointcloud2_to_xyz_array(msg)
-            out = detector.process_frame(points, cam_pos, seed=seed)
-            seed += 1
-            if len(out["grasps"]) == 0:
-                rospy.loginfo("No good grasps this frame.")
+            if pipeline:
+                # one frame in flight: the device computes this frame while
+                # the host fetches + publishes the previous one
+                nxt = detector.dispatch_frame(points, cam_pos, seed=seed)
+                if pending is not None:
+                    publish(detector.collect_frame(pending))
+                pending = nxt
             else:
-                pub_markers.publish(
-                    gripper_marker_array(out["grasps"], detector.gripper))
-                n_pub = len(out["grasps"]) if publish_all else 1
-                pub_grasps.publish(grasp_config_list_msg(
-                    out["grasps"][:n_pub], out["scores"][:n_pub]))
-                rospy.loginfo("Published %d of %d ranked grasps",
-                              n_pub, len(out["grasps"]))
+                publish(detector.process_frame(points, cam_pos, seed=seed))
+            seed += 1
         else:
             rospy.loginfo("No points on the table, waiting...")
         if max_frames is not None and frames >= max_frames:
-            return
+            break
         rate.sleep()
+    if pending is not None:  # drain the in-flight frame
+        publish(detector.collect_frame(pending))

@@ -81,6 +81,45 @@ class TestGraspDetector:
         if len(out["scores"]) > 1:
             assert (np.diff(out["scores"]) <= 1e-7).all()
 
+    def test_process_frames_pipelined_matches_serial(self):
+        """The one-in-flight pipelined stream must yield exactly the same
+        results as serial process_frame calls (same seeds per frame)."""
+        from pointnetgpd_tpu.grasping.gripper import Gripper
+        from pointnetgpd_tpu.inference.scorer import GraspScorer
+        from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+        from pointnetgpd_tpu.robot.node import DetectorConfig, GraspDetector
+
+        rng = np.random.RandomState(3)
+        frames = []
+        for f in range(3):
+            n = 500 + 40 * f      # varying raw sizes, same bucket
+            top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+            side = rng.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+            pts = np.concatenate([top, side]).astype(np.float32)
+            pts[:, :2] -= 0.03
+            frames.append(pts)
+        cam = np.array([0.5, 0.5, 1.0], np.float32)
+
+        params, state = init_pointnet_cls(jax.random.PRNGKey(0),
+                                          input_chann=3, k=3)
+        scorer = GraspScorer(params=params, state=state, k=3, num_points=128,
+                             pad_to=16, min_points=5)
+        det = GraspDetector(
+            scorer, Gripper(),
+            DetectorConfig(num_grasps=12, max_num_samples=32,
+                           input_points_num=128, repeat=1,
+                           minimal_points_send_to_point_net=5,
+                           cloud_pad_to=1024))
+        serial = [det.process_frame(p, cam, seed=i)
+                  for i, p in enumerate(frames)]
+        piped = list(det.process_frames(iter(frames), cam))
+        assert len(piped) == len(serial)
+        for a, b in zip(serial, piped):
+            np.testing.assert_array_equal(a["all_frames"], b["all_frames"])
+            np.testing.assert_array_equal(a["all_scores"], b["all_scores"])
+            np.testing.assert_array_equal(a["grasps"], b["grasps"])
+            assert a["points"].shape == b["points"].shape
+
     def test_sharded_detector_matches_single_device(self):
         """The full frame pipeline composed over the 8-device mesh (sharded
         normals + GPG + scoring) must match the single-device detector up
@@ -236,6 +275,12 @@ class _FakeDetector:
         return {"grasps": self._grasps,
                 "scores": np.array([0.9, 0.7], np.float32)}
 
+    def dispatch_frame(self, points, cam_pos, seed=0):
+        return self.process_frame(points, cam_pos, seed)
+
+    def collect_frame(self, dispatched):
+        return dispatched
+
 
 class TestRosNode:
     def _run(self, monkeypatch, **kw):
@@ -268,6 +313,20 @@ class TestRosNode:
             [g0.bottom.x, g0.bottom.y, g0.bottom.z],
             det._grasps[0, 4], atol=1e-6)
         assert g0.score.data == np.float32(0.9)
+
+    def test_pipelined_node_publishes_all_frames(self, monkeypatch):
+        """pipeline=True publishes with one-frame latency but drains the
+        in-flight frame on shutdown: every processed frame is published."""
+        from pointnetgpd_tpu.robot.node import run_ros_node
+
+        pts = np.random.RandomState(0).rand(64, 3).astype(np.float32)
+        published, params, state = _fake_ros_modules(
+            monkeypatch, _fake_pc2(pts))
+        det = _FakeDetector()
+        run_ros_node(det, cam_pos=np.zeros(3), max_frames=3, pipeline=True)
+        assert len(det.frames_seen) == 3
+        glist = published["/detect_grasps/clustered_grasps"]
+        assert len(glist) == 3  # 2 pipelined + 1 drained at shutdown
 
     def test_publish_all_and_home_gating(self, monkeypatch):
         """robot_at_home=false defers processing for one tick; publish_all
