@@ -71,6 +71,16 @@ class DetectorConfig:
     # Morton-window KNN normals (O(P*window) instead of O(P^2)) kick in
     # for clouds larger than this window; 0 disables (always all-pairs)
     normal_window: int = 2048
+    # adaptive size buckets: size the cloud bucket from the PREVIOUS frame's
+    # voxel count (x margin, bucket-rounded, capped by the raw-count bound)
+    # instead of the raw count alone. Depth streams are temporally coherent
+    # and the voxel count is typically far below the raw count (84k raw ->
+    # ~25k voxels), so the pipeline stops paying for phantom points; if a
+    # frame's count overflows its bucket (scene suddenly grew), collect
+    # detects it host-side and transparently reprocesses that frame at the
+    # raw-bound bucket (bit-identical to adaptive_bucket=False, tested).
+    adaptive_bucket: bool = False
+    adaptive_margin: float = 1.25
 
 
 class GraspDetector:
@@ -96,6 +106,7 @@ class GraspDetector:
         self.scorer.num_points = self.cfg.input_points_num
         self.scorer.repeat = self.cfg.repeat
         self.scorer.min_points = self.cfg.minimal_points_send_to_point_net
+        self._last_voxel_count: int | None = None  # adaptive_bucket state
 
     def warmup(self, max_points: int, cam_pos=(1.0, 1.0, 1.0)):
         """Pre-compile the pipeline for every cloud size bucket up to
@@ -118,7 +129,14 @@ class GraspDetector:
             n = b - self.cfg.cloud_pad_to // 2
             pts = (rng.rand(n, 3) * 0.4 - 0.2).astype(np.float32)
             pts[:, 2] = np.abs(pts[:, 2]) + 0.02
-            self.process_frame(pts, np.asarray(cam_pos, np.float32))
+            # _force_bound pins the cloud bucket to b even when
+            # adaptive_bucket would shrink it from a previous iteration's
+            # voxel count — every bucket must actually compile
+            self.collect_frame(self.dispatch_frame(
+                pts, np.asarray(cam_pos, np.float32), _force_bound=True))
+        # synthetic blob counts are not a prior for live frames: let the
+        # first live frame use the raw bound rather than redo on overflow
+        self._last_voxel_count = None
         return buckets
 
     def process_frame(self, points: np.ndarray, cam_pos: np.ndarray,
@@ -139,7 +157,7 @@ class GraspDetector:
         return self.collect_frame(self.dispatch_frame(points, cam_pos, seed))
 
     def dispatch_frame(self, points: np.ndarray, cam_pos: np.ndarray,
-                       seed: int = 0):
+                       seed: int = 0, _force_bound: bool = False):
         """Dispatch-only half of ``process_frame``: enqueue the whole frame
         pipeline (downsample -> normals -> GPG -> crop+score) and return a
         pending handle with ZERO device->host transfers. Pair with
@@ -170,8 +188,20 @@ class GraspDetector:
         # (above-table filter), never in a closing region, and never the
         # neighbor of a real point — one compile per bucket, not per frame.
         # packed's tail is already the -1e6 sentinel.
-        bucket = max(-(-max(n_raw, 1) // cfg.cloud_pad_to), 1) \
+        bound_bucket = max(-(-max(n_raw, 1) // cfg.cloud_pad_to), 1) \
             * cfg.cloud_pad_to
+        bucket = bound_bucket
+        if (cfg.adaptive_bucket and not _force_bound
+                and self._last_voxel_count is not None):
+            # temporally-coherent streams: last frame's voxel count (which
+            # rode that frame's fetch) x margin predicts this frame's; the
+            # raw bound stays the cap, and collect_frame reprocesses at the
+            # bound on the rare overflow (count > bucket would otherwise
+            # silently truncate real points — packed is real-points-first)
+            est = int(self._last_voxel_count * cfg.adaptive_margin) + 1
+            est_bucket = max(-(-est // cfg.cloud_pad_to), 1) \
+                * cfg.cloud_pad_to
+            bucket = min(bound_bucket, est_bucket)
         if bucket <= packed.shape[0]:
             pts_dev = packed[:bucket]
         else:
@@ -225,15 +255,23 @@ class GraspDetector:
             pts_dev, frames, hand_depth=self.gripper.hand_depth,
             width=self.gripper.open_width, seed=seed + 1,
             valid=frame_valid, extra_fetch=(frames, n_valid_dev, count))
-        return pending, pts_dev
+        return pending, pts_dev, bucket, points, cam_pos, seed
 
     def collect_frame(self, dispatched):
         """Fetch half of ``process_frame``: performs the frame's single
-        device->host transfer and the host postprocess."""
+        device->host transfer and the host postprocess. If an adaptive
+        bucket overflowed (voxel count > bucket — real points would have
+        been truncated), transparently reprocesses the frame at the
+        raw-bound bucket (bit-identical to adaptive_bucket=False)."""
         cfg = self.cfg
-        pending, pts_dev = dispatched
+        pending, pts_dev, bucket, raw_pts, cam_pos, seed = dispatched
         result, (frames_np, n_valid, n_real) = self.scorer.collect(pending)
         n_real = int(n_real)
+        self._last_voxel_count = n_real
+        if n_real > bucket:  # adaptive bucket too small for this frame
+            redo = self.dispatch_frame(raw_pts, cam_pos, seed=seed,
+                                       _force_bound=True)
+            return self.collect_frame(redo)
         pts = pts_dev[:n_real]  # device view of the real cloud
         keep = min(cfg.num_grasps, int(n_valid))
         frames_np = frames_np[:keep]

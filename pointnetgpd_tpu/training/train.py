@@ -125,7 +125,8 @@ def make_eval_step(*, dual: bool = False):
 
 
 def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
-                          dual: bool = False, compute_dtype=None):
+                          dual: bool = False, compute_dtype=None,
+                          remat: bool = False):
     """Train step with the closing-region crop fused INTO the device program.
 
     Input is the raw per-sample data (grasp rows, per-sample view clouds,
@@ -144,6 +145,12 @@ def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
     step is HBM-bandwidth-bound on the two (B, N, 1024) trunk stages, so
     halving activation bytes is the main single-chip lever (docs/SCALING.md
     roofline). Default None = pure fp32 (bit-for-bit the parity semantics).
+
+    ``remat``: rematerialize the forward in the backward pass
+    (``jax.checkpoint``) instead of storing the (B, N, 1024) activations —
+    trades ~1 extra forward of (cheap) FLOPs for HBM traffic on the
+    bandwidth-bound stages. Gradients are bit-identical (tested); whether
+    it is a speed win is measured in docs/SCALING.md.
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -155,6 +162,11 @@ def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
         )
         weights = label_weights * crop_valid.astype(label_weights.dtype)
 
+        fwd = lambda p, s, x: apply_pointnet_cls(p, s, x, train=True,
+                                                 dual=dual)
+        if remat:
+            fwd = jax.checkpoint(fwd)
+
         def loss_fn(params):
             if compute_dtype is not None:
                 params = jax.tree_util.tree_map(
@@ -162,9 +174,7 @@ def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
                 x = cropped.astype(compute_dtype)
             else:
                 x = cropped
-            (logp, _), new_bn = apply_pointnet_cls(
-                params, state.bn_state, x, train=True, dual=dual
-            )
+            (logp, _), new_bn = fwd(params, state.bn_state, x)
             logp = logp.astype(jnp.float32)
             return masked_nll_loss(logp, labels, weights), (new_bn, logp)
 

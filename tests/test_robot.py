@@ -120,6 +120,82 @@ class TestGraspDetector:
             np.testing.assert_array_equal(a["grasps"], b["grasps"])
             assert a["points"].shape == b["points"].shape
 
+    def _make_det(self, adaptive=False, cloud_pad_to=512, margin=1.25,
+                  n_voxel=500):
+        from pointnetgpd_tpu.grasping.gripper import Gripper
+        from pointnetgpd_tpu.inference.scorer import GraspScorer
+        from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+        from pointnetgpd_tpu.robot.node import DetectorConfig, GraspDetector
+
+        params, state = init_pointnet_cls(jax.random.PRNGKey(0),
+                                          input_chann=3, k=3)
+        scorer = GraspScorer(params=params, state=state, k=3, num_points=128,
+                             pad_to=16, min_points=5)
+        return GraspDetector(
+            scorer, Gripper(),
+            DetectorConfig(num_grasps=12, max_num_samples=32,
+                           input_points_num=128, repeat=1,
+                           minimal_points_send_to_point_net=5,
+                           cloud_pad_to=cloud_pad_to,
+                           adaptive_bucket=adaptive,
+                           adaptive_margin=margin, n_voxel=n_voxel))
+
+    @staticmethod
+    def _scene(rng, n):
+        top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+        side = rng.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+        pts = np.concatenate([top, side]).astype(np.float32)
+        pts[:, :2] -= 0.03
+        return pts
+
+    def test_adaptive_bucket_shrinks_and_matches_when_bucket_equal(self):
+        """A dense scene (voxel count << raw count) must run smaller cloud
+        buckets after the first frame; results stay structurally valid and
+        the stream is deterministic."""
+        rng = np.random.RandomState(5)
+        # coarse voxel grid: 4000 raw points collapse to a few hundred
+        # voxels, so the adapted bucket drops below the raw bound
+        pts = self._scene(rng, 2000)
+        cam = np.array([0.5, 0.5, 1.0], np.float32)
+
+        det = self._make_det(adaptive=True, n_voxel=40)
+        d1 = det.dispatch_frame(pts, cam, seed=0)
+        bucket_first = d1[2]
+        out1 = det.collect_frame(d1)
+        assert det._last_voxel_count is not None
+        d2 = det.dispatch_frame(pts, cam, seed=1)
+        bucket_second = d2[2]
+        out2 = det.collect_frame(d2)
+        assert bucket_second < bucket_first  # adapted down
+        assert np.isfinite(out2["all_scores"]).all()
+        # deterministic: a fresh detector over the same stream reproduces it
+        det_b = self._make_det(adaptive=True, n_voxel=40)
+        det_b.collect_frame(det_b.dispatch_frame(pts, cam, seed=0))
+        out2b = det_b.process_frame(pts, cam, seed=1)
+        np.testing.assert_array_equal(out2["all_frames"], out2b["all_frames"])
+        np.testing.assert_array_equal(out2["all_scores"], out2b["all_scores"])
+
+    def test_adaptive_bucket_overflow_redoes_at_bound(self):
+        """When the scene suddenly grows past the adapted bucket, the frame
+        is reprocessed at the raw bound — bit-identical to adaptive off."""
+        rng = np.random.RandomState(6)
+        small = self._scene(rng, 300)
+        # sparse big scene: high voxel count, far above small's count
+        big = (rng.rand(3000, 3) * 0.5 - 0.25).astype(np.float32)
+        big[:, 2] = np.abs(big[:, 2]) + 0.02
+        cam = np.array([0.5, 0.5, 1.0], np.float32)
+
+        det_a = self._make_det(adaptive=True)
+        det_f = self._make_det(adaptive=False)
+        det_a.process_frame(small, cam, seed=0)   # sets a small estimate
+        out_a = det_a.process_frame(big, cam, seed=1)   # overflow -> redo
+        out_f = det_f.process_frame(big, cam, seed=1)
+        np.testing.assert_array_equal(out_a["all_frames"],
+                                      out_f["all_frames"])
+        np.testing.assert_array_equal(out_a["all_scores"],
+                                      out_f["all_scores"])
+        np.testing.assert_array_equal(out_a["grasps"], out_f["grasps"])
+
     def test_sharded_detector_matches_single_device(self):
         """The full frame pipeline composed over the 8-device mesh (sharded
         normals + GPG + scoring) must match the single-device detector up

@@ -104,6 +104,37 @@ def test_fused_train_step_bf16_learns_masters_stay_f32():
         assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
 
 
+def test_fused_train_step_remat_matches_exact():
+    """remat=True (jax.checkpoint forward rematerialization) must produce
+    numerically identical params and metrics to the default step — it only
+    changes WHAT is stored between forward and backward."""
+    data = SyntheticGraspData(batch_size=8, cloud_points=256, num_classes=2,
+                              learnable=True, seed=5)
+    outs = {}
+    for remat in (False, True):
+        st, tx = _tiny_state(k=2, lr=0.003)
+        step_fn = make_fused_train_step(tx, num_points=64, min_point_limit=5,
+                                        remat=remat)
+        d = SyntheticGraspData(batch_size=8, cloud_points=256, num_classes=2,
+                               learnable=True, seed=5)
+        key = jax.random.PRNGKey(0)
+        ms = []
+        for i in range(3):
+            batch = tuple(map(jnp.asarray, d.next_batch()))
+            key, sub = jax.random.split(key)
+            st, metrics = step_fn(st, *batch, sub)
+            ms.append(metrics)
+        outs[remat] = (st, ms)
+    a, b = outs[False], outs[True]
+    for la, lb in zip(jax.tree_util.tree_leaves(a[0].params),
+                      jax.tree_util.tree_leaves(b[0].params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=1e-6, rtol=1e-6)
+    for ma, mb in zip(a[1], b[1]):
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                                   rtol=1e-6)
+
+
 def test_dp_matches_single_device():
     """The same batch 8-way sharded vs single-device must produce the same
     loss and gradients (global-batch BN + psum grad all-reduce == local math).
