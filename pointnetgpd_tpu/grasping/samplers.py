@@ -416,7 +416,33 @@ def gpg_sample_candidates(
     m_ok_rep = jnp.repeat(seed_m_ok, n_theta)
     above_rep = jnp.repeat(seed_ok, n_theta)
 
-    def frames_block(points_r, seeds_rep, rr, m_ok_rep, above_rep):
+    # Hoist the scan-independent validity components and COMPACT the frame
+    # axis so frames that cannot be valid fill whole kernel blocks, which
+    # the Pallas scan then skips wholesale (zero-radius pruning sphere per
+    # inactive block). The downward guard (grasp_sampler.py:1564-1569;
+    # finger_top.z < bc.z - depth/2 with finger_top = bc + normal*depth)
+    # reduces algebraically to t_normal.z < -0.5 — bc cancels — so it needs
+    # no scan; measured pass rates are ~4%, i.e. compaction removes ~24/25
+    # of the scan work (docs/SCALING.md). The +1e-3 margin keeps any frame
+    # the in-scan form could accept through its ~1e-8 bc.z rounding.
+    # Inactive frames keep REAL seeds (their geometry outputs stay finite)
+    # but may receive zero counts; their validity is forced false below,
+    # exactly as the unpruned program would conclude. With a mesh, actives
+    # round-robin over the ndev contiguous shards (two-key sort) so every
+    # device keeps an equal share of the live scan work.
+    ndev_c = 1 if mesh is None else mesh.shape[mesh.axis_names[0]]
+    pre_ok = m_ok_rep & above_rep & (rr[:, 0, 2] < -0.5 + 1e-3)
+    ri = jnp.where(pre_ok, jnp.cumsum(pre_ok) - 1,
+                   jnp.cumsum(~pre_ok) - 1)
+    cperm = jnp.argsort((ri % ndev_c) * 2 + (~pre_ok), stable=True)
+    cunsort = jnp.argsort(cperm)
+    seeds_rep = seeds_rep[cperm]
+    rr = rr[cperm]
+    m_ok_rep = m_ok_rep[cperm]
+    above_rep = above_rep[cperm]
+    pre_ok = pre_ok[cperm]
+
+    def frames_block(points_r, seeds_rep, rr, m_ok_rep, above_rep, pre_ok):
         """Scans + per-frame glue for a block of frames (shardable: each
         frame is independent given the replicated cloud)."""
         f_blk = seeds_rep.shape[0]
@@ -426,8 +452,10 @@ def gpg_sample_candidates(
 
         if jax.default_backend() == "tpu":
             # Pallas path: the context shares the padded cloud, rotation
-            # weights, and pruning spheres across the three scans
-            ctx = GpgScanContext(points_r, seeds_rep, rr, boxes_np)
+            # weights, and pruning spheres across the three scans; blocks
+            # with no pre_ok frame skip every tile
+            ctx = GpgScanContext(points_r, seeds_rep, rr, boxes_np,
+                                 active=pre_ok)
 
             def counts(fixed, scan, scan_is_y):
                 return ctx.counts(fixed, scan, scan_is_y=scan_is_y)
@@ -490,20 +518,24 @@ def gpg_sample_candidates(
         final_ok = ((c3[:, 0] > min_open_points) & (c3[:, 1] == 0)
                     & (c3[:, 2] == 0) & (c3[:, 3] == 0))
 
-        valid = m_ok_rep & theta_ok & hit & final_ok & above_rep
+        valid = (m_ok_rep & theta_ok & hit & final_ok & above_rep
+                 & pre_ok)  # pre_ok: skipped blocks' counts are don't-cares
         frames = jnp.stack([bc2, t_normal, t_major, minor_rep, bc_mod],
                            axis=1)                               # (F, 5, 3)
         return frames, valid
 
     def unsort_out(frames, valid):
-        """Morton order -> original random seed order (seed-major layout)."""
+        """Compaction order -> Morton order -> original random seed order
+        (seed-major layout)."""
+        frames = frames[cunsort]
+        valid = valid[cunsort]
         f5 = frames.reshape(num_seeds, n_theta, 5, 3)[unsort]
         v2 = valid.reshape(num_seeds, n_theta)[unsort]
         return GpgCandidates(f5.reshape(-1, 5, 3), v2.reshape(-1))
 
     if mesh is None:
         frames, valid = frames_block(points, seeds_rep, rr, m_ok_rep,
-                                     above_rep)
+                                     above_rep, pre_ok)
         return unsort_out(frames, valid)
 
     # mesh-sharded: frames are independent given the replicated cloud, so
@@ -530,9 +562,11 @@ def gpg_sample_candidates(
     frames, valid = shard_map(
         frames_block, mesh=mesh,
         in_specs=(PartitionSpec(), PartitionSpec(axis), PartitionSpec(axis),
-                  PartitionSpec(axis), PartitionSpec(axis)),
+                  PartitionSpec(axis), PartitionSpec(axis),
+                  PartitionSpec(axis)),
         out_specs=(PartitionSpec(axis), PartitionSpec(axis)),
-    )(points, padf(seeds_rep), rr_p, padf(m_ok_rep), padf(above_rep))
+    )(points, padf(seeds_rep), rr_p, padf(m_ok_rep), padf(above_rep),
+      padf(pre_ok))
     return unsort_out(frames[:n_frames], valid[:n_frames])
 
 

@@ -178,9 +178,20 @@ class GpgScanContext:
     weight matrix, and the seed bounding spheres only depend on
     (points, seeds, rot_rows) and are built once here. ``counts`` adds the
     per-scan offsets and calls the kernel. All jnp — usable inside jit.
+
+    ``active``: optional (F,) bool — frames whose counts the caller will
+    ignore (scan-independent validity already failed: below-table seeds,
+    degenerate covariance, the hoisted downward guard). Blocks with NO
+    active frame get a far/zero-radius pruning sphere, so the kernel skips
+    every cloud tile for them — with the sampler's compaction permutation
+    (actives packed into the leading blocks) this removes the scan work
+    for the ~96% of (seed, theta) frames the downward guard rejects.
+    Sphere bounds also tighten to active seeds only; inactive frames in a
+    mixed block may therefore return 0 instead of real counts — they are
+    don't-cares by contract.
     """
 
-    def __init__(self, points, seeds, rot_rows, boxes):
+    def __init__(self, points, seeds, rot_rows, boxes, active=None):
         points = jnp.asarray(points, jnp.float32)
         self.p_total = points.shape[0]
         self.f = seeds.shape[0]
@@ -220,6 +231,10 @@ class GpgScanContext:
         # zero radius: always skipped, counts discarded by [:f] anyway.
         sdg = sd.reshape(nf, bf, 3)
         is_real = (jnp.arange(self.f_pad) < self.f).reshape(nf, bf)
+        if active is not None:
+            act = jnp.zeros((self.f_pad,), bool).at[:self.f].set(
+                jnp.asarray(active, bool))
+            is_real = is_real & act.reshape(nf, bf)
         big = jnp.float32(1e9)
         lo = jnp.min(jnp.where(is_real[..., None], sdg, big), axis=1)
         hi = jnp.max(jnp.where(is_real[..., None], sdg, -big), axis=1)

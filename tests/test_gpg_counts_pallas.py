@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import pytest
 
 from pointnetgpd_tpu.ops.gpg_counts_pallas import (
+    GpgScanContext,
     gpg_scan_counts_jnp,
     gpg_scan_counts_pallas,
 )
@@ -49,6 +50,29 @@ class TestGpgScanCounts:
             pts, seeds, rots, fixed, scan, BOXES, scan_is_y=scan_is_y))
         np.testing.assert_array_equal(a, b)
         assert b.sum() > 0  # case is non-degenerate
+
+    @pytest.mark.parametrize("scan_is_y", [True, False])
+    def test_active_mask_preserves_active_counts(self, scan_is_y):
+        """A context with an ``active`` mask must return the SAME counts as
+        the unmasked context for every active frame (inactive frames are
+        don't-cares by contract); a 256-frame case exercises block-level
+        skipping (2 blocks, one fully inactive after compaction-like
+        ordering)."""
+        pts, seeds, rots, fixed, scan = _random_case(3, f=256)
+        rs = np.random.RandomState(7)
+        active = np.zeros(256, bool)
+        active[:19] = True                # leading block partially active
+        full = GpgScanContext(pts, seeds, rots, BOXES)
+        masked = GpgScanContext(pts, seeds, rots, BOXES,
+                                active=jnp.asarray(active))
+        a = np.asarray(full.counts(fixed, scan, scan_is_y=scan_is_y,
+                                   interpret=True))
+        b = np.asarray(masked.counts(fixed, scan, scan_is_y=scan_is_y,
+                                     interpret=True))
+        np.testing.assert_array_equal(a[active], b[active])
+        assert a[active].sum() > 0
+        # the fully-inactive trailing block was skipped: zero counts
+        assert b[128:].sum() == 0
 
     def test_matches_f64_membership(self):
         """Independent oracle: double-precision box membership per frame."""
