@@ -225,7 +225,7 @@ class GpgCandidates(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "gripper", "num_seeds", "max_neighbors", "num_dy", "dtheta_deg",
     "range_dtheta", "approach_steps", "min_open_points", "seed_chunk",
-    "mesh", "exact"))
+    "mesh", "exact", "normal_k", "normal_window"))
 def gpg_sample_candidates(
     points,
     normals,
@@ -247,12 +247,24 @@ def gpg_sample_candidates(
     seed_chunk: int = 8,
     mesh=None,
     exact: bool = False,
+    camera_pos=None,
+    bbox=None,
+    normal_k: int = 30,
+    normal_window: int = 2048,
 ) -> GpgCandidates:
     """GPG candidate generation on a raw cloud, fully batched
     (GpgGraspSamplerPcl.sample_grasps, grasp_sampler.py:1389-1656).
 
     points: (P, 3) scene cloud (table frame, z up, table at z=0).
-    normals: (P, 3) outward (camera-consistent) surface normals.
+    normals: (P, 3) outward (camera-consistent) surface normals — or None
+        to estimate normals LAZILY for the seed neighborhoods only
+        (``ops.cloud.seed_window_normals``; requires ``camera_pos``). The
+        sampler is the online pipeline's only normals consumer, so the
+        lazy path skips the whole-cloud estimation pass (the reference's
+        pcl feed, kinect2grasp.py:131-144); same statistical trade as the
+        window-KNN estimator. ``bbox`` = real-cloud bounds for Morton
+        sorting under sentinel padding; ``normal_k``/``normal_window``
+        mirror the estimator's parameters.
     point_frames: optional (P, 3, 3) per-point [normal, major, minor] frames
         (e.g. SDF-curvature frames); when given they replace the r-ball
         normal-covariance estimate, making frame selection deterministic.
@@ -357,28 +369,44 @@ def gpg_sample_candidates(
     else:
         # r-ball normal covariance -> local frame (grasp_sampler.py:1467-1500)
         seeds_xyz = points[seed_idx]                   # (S, 3)
-        d2 = (jnp.sum(seeds_xyz * seeds_xyz, axis=1)[:, None]
-              - 2.0 * jnp.matmul(seeds_xyz, points.T,
-                                 precision=jax.lax.Precision.HIGHEST)
-              + jnp.sum(points * points, axis=1)[None, :])   # (S, P)
         knn = min(max_neighbors, p_total)
-        # cap the neighbor count like the KD-tree's max_nn=100, then the
-        # r-ball filter. approx_min_k on TPU (exact top_k elsewhere):
-        # ~0.95 recall/neighbor; the normal-covariance frame is a
-        # statistical estimate over ~100 neighbors, insensitive to an
-        # occasional swapped one (same trade as estimate_normals_knn)
-        if jax.default_backend() == "tpu" and not exact:
-            pd2, nbr = jax.lax.approx_min_k(d2, knn)   # (S, knn)
+        if normals is None:
+            if camera_pos is None:
+                raise ValueError(
+                    "gpg_sample_candidates(normals=None) needs camera_pos")
+            # lazy path: neighbors + their normals from one Morton window
+            # per seed (ops/cloud.seed_window_normals) — no whole-cloud
+            # normals pass
+            from ..ops.cloud import seed_window_normals
+
+            pd2, nn, seed_normals = seed_window_normals(
+                points, seed_idx, jnp.asarray(camera_pos, dtype),
+                k=normal_k, knn=knn, window=normal_window, exact=exact,
+                bbox=bbox)
         else:
-            nd2, nbr = jax.lax.top_k(-d2, knn)
-            pd2 = -nd2
+            d2 = (jnp.sum(seeds_xyz * seeds_xyz, axis=1)[:, None]
+                  - 2.0 * jnp.matmul(seeds_xyz, points.T,
+                                     precision=jax.lax.Precision.HIGHEST)
+                  + jnp.sum(points * points, axis=1)[None, :])   # (S, P)
+            # cap the neighbor count like the KD-tree's max_nn=100, then
+            # the r-ball filter. approx_min_k on TPU (exact top_k
+            # elsewhere): ~0.95 recall/neighbor; the normal-covariance
+            # frame is a statistical estimate over ~100 neighbors,
+            # insensitive to an occasional swapped one (same trade as
+            # estimate_normals_knn)
+            if jax.default_backend() == "tpu" and not exact:
+                pd2, nbr = jax.lax.approx_min_k(d2, knn)   # (S, knn)
+            else:
+                nd2, nbr = jax.lax.top_k(-d2, knn)
+                pd2 = -nd2
+            nn = normals[nbr]                              # (S, knn, 3)
+            seed_normals = normals[seed_idx]
         # self-exclusion threshold 1e-8 m^2 (0.1 mm): the matmul-form d2
         # carries fp32 cancellation noise ~1e-9 at 0.2 m scale, so an exact
         # >0 test would include/exclude the seed's own normal at random;
         # 1e-8 is well below any inter-point distance at voxel-downsampled
         # resolution
         w = ((pd2 <= r_ball * r_ball) & (pd2 > 1e-8)).astype(dtype)
-        nn = normals[nbr]                              # (S, knn, 3)
         nn = nn / jnp.maximum(
             jnp.linalg.norm(nn, axis=-1, keepdims=True), 1e-12)
         m = jnp.einsum("sp,spi,spj->sij", w, nn, nn)
@@ -391,7 +419,7 @@ def gpg_sample_candidates(
         major = major / jnp.maximum(
             jnp.linalg.norm(major, axis=-1, keepdims=True), 1e-12)
         # orient with the camera-consistent normal (grasp_sampler.py:1502-1506)
-        flip = jnp.sum(normals[seed_idx] * normal, axis=-1) < 0
+        flip = jnp.sum(seed_normals * normal, axis=-1) < 0
         normal = jnp.where(flip[:, None], -normal, normal)
         minor = jnp.where(flip[:, None], -minor, minor)
         seed_frames = jnp.stack([normal, major, minor], axis=1)  # (S, 3, 3)

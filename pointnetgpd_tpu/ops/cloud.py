@@ -274,6 +274,107 @@ def estimate_normals_knn_window(points, camera_pos, *, k: int = 30,
         jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "knn", "window", "exact",
+                                             "seed_chunk"))
+def seed_window_normals(points, seed_idx, camera_pos, *, k: int = 30,
+                        knn: int = 100, window: int = 2048,
+                        exact: bool = False, bbox=None,
+                        seed_chunk: int = 32):
+    """Normals for each seed's ``knn`` nearest neighbors ONLY — the lazy
+    alternative to estimating all P normals when nothing but the GPG seed
+    neighborhoods consumes them (``gpg_sample_candidates(normals=None)``,
+    replacing the reference's whole-cloud pcl NormalEstimation feed at
+    kinect2grasp.py:131-144 with on-demand estimation).
+
+    One Morton-sorted ``window`` per seed supplies both the seed's ``knn``
+    neighbor candidates and each neighbor's own ``k``-NN plane fit — the
+    same windowed-approximation trade as ``estimate_normals_knn_window``
+    (statistical agreement, not bit parity, with the dense path; at S
+    seeds the cost is O(S * knn * window) instead of O(P^2) or even
+    O(P * window)).
+
+    Returns (pd2 (S, knn) squared seed->neighbor distances, nbr_normals
+    (S, knn, 3) camera-oriented unit normals, seed_normals (S, 3)).
+    """
+    p_total = points.shape[0]
+    s_total = seed_idx.shape[0]
+    cam = jnp.asarray(camera_pos, points.dtype)
+
+    if p_total <= 2 * window or p_total <= knn:
+        # small clouds: dense estimate + full-cloud neighbor search
+        normals = estimate_normals_knn(points, cam, k=k, exact=exact)
+        seeds_xyz = points[seed_idx]
+        d2 = (jnp.sum(seeds_xyz * seeds_xyz, axis=1)[:, None]
+              - 2.0 * jnp.matmul(seeds_xyz, points.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+              + jnp.sum(points * points, axis=1)[None, :])
+        kk = min(knn, p_total)
+        if jax.default_backend() == "tpu" and not exact:
+            pd2, nbr = jax.lax.approx_min_k(d2, kk)
+        else:
+            nd2, nbr = jax.lax.top_k(-d2, kk)
+            pd2 = -nd2
+        if kk < knn:  # pad to the static knn width with self-duplicates
+            pd2 = jnp.pad(pd2, ((0, 0), (0, knn - kk)), mode="edge")
+            nbr = jnp.pad(nbr, ((0, 0), (0, knn - kk)), mode="edge")
+        return pd2, normals[nbr], normals[seed_idx]
+
+    order = jnp.argsort(morton_codes(points, bits=10, bbox=bbox))
+    rank = jnp.argsort(order)              # sorted position of each point
+    ps = jnp.take(points, order, axis=0)
+    pos = rank[seed_idx]
+    starts = jnp.clip(pos - window // 2, 0, p_total - window)
+    seeds_xyz = points[seed_idx]
+
+    pad_s = (-s_total) % seed_chunk
+    if pad_s:
+        seeds_xyz = jnp.concatenate(
+            [seeds_xyz, jnp.broadcast_to(seeds_xyz[:1], (pad_s, 3))])
+        starts = jnp.concatenate([starts, jnp.broadcast_to(starts[:1],
+                                                           (pad_s,))])
+
+    def one_seed(args):
+        s_xyz, st = args
+        cand = jax.lax.dynamic_slice(ps, (st, 0), (window, 3))   # (W, 3)
+        d2s = jnp.sum(jnp.square(cand - s_xyz), axis=-1)         # (W,)
+        if exact or jax.default_backend() != "tpu":
+            nd2, nb = jax.lax.top_k(-d2s, knn)
+            pd2 = -nd2
+        else:
+            pd2, nb = jax.lax.approx_min_k(d2s, knn)
+        nbr_pts = cand[nb]                                       # (K, 3)
+        # each neighbor's own k-NN plane fit within the shared window
+        cross = jnp.matmul(nbr_pts, cand.T,
+                           precision=jax.lax.Precision.HIGHEST)  # (K, W)
+        d2n = (jnp.sum(nbr_pts * nbr_pts, axis=-1)[:, None] - 2.0 * cross
+               + jnp.sum(cand * cand, axis=-1)[None, :])
+        if exact or jax.default_backend() != "tpu":
+            _, nb2 = jax.lax.top_k(-d2n, k)
+        else:
+            _, nb2 = jax.lax.approx_min_k(d2n, k)
+        pts_k = cand[nb2]                                        # (K, k, 3)
+        mean = jnp.mean(pts_k, axis=1, keepdims=True)
+        centered = pts_k - mean
+        cov = jnp.einsum("qki,qkj->qij", centered, centered)
+        n_k = smallest_eigvec_sym3x3(cov)                        # (K, 3)
+        flip = jnp.sum((cam - nbr_pts) * n_k, axis=-1) < 0
+        n_k = jnp.where(flip[:, None], -n_k, n_k)
+        n_k = n_k / jnp.maximum(
+            jnp.linalg.norm(n_k, axis=-1, keepdims=True), 1e-12)
+        sn = n_k[jnp.argmin(pd2)]          # the seed is its own 0-distance
+        return pd2, n_k, sn                # neighbor
+
+    n_blocks = (s_total + pad_s) // seed_chunk
+    pd2, nn, sn = jax.lax.map(
+        lambda a: jax.vmap(one_seed)(a),
+        (seeds_xyz.reshape(n_blocks, seed_chunk, 3),
+         starts.reshape(n_blocks, seed_chunk)))
+    pd2 = pd2.reshape(-1, knn)[:s_total]
+    nn = nn.reshape(-1, knn, 3)[:s_total]
+    sn = sn.reshape(-1, 3)[:s_total]
+    return pd2, nn, sn
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "exact"))
 def estimate_normals_knn(points, camera_pos, *, k: int = 30,
                          chunk: int = 1024, exact: bool = False):

@@ -71,6 +71,12 @@ class DetectorConfig:
     # Morton-window KNN normals (O(P*window) instead of O(P^2)) kick in
     # for clouds larger than this window; 0 disables (always all-pairs)
     normal_window: int = 2048
+    # estimate normals LAZILY inside the GPG seed windows only (the sampler
+    # is the frame pipeline's sole normals consumer): skips the whole-cloud
+    # normals pass (~28 ms at the 82k bucket), same statistical trade as
+    # the window estimator. False restores the reference-shaped flow
+    # (whole-cloud normals, kinect2grasp.py:131-144).
+    lazy_normals: bool = True
     # adaptive size buckets: size the cloud bucket from the PREVIOUS frame's
     # voxel count (x margin, bucket-rounded, capped by the raw-count bound)
     # instead of the raw count alone. Depth streams are temporally coherent
@@ -212,16 +218,20 @@ class GraspDetector:
         # surface normals, camera-consistent (kinect2grasp.py:131-144);
         # Morton-window KNN for big buckets (near-linear in P), with the
         # REAL cloud's bbox so the -1e6 sentinel tail can't collapse the
-        # Morton cells (it sorts to a corner and is never a neighbor)
+        # Morton cells (it sorts to a corner and is never a neighbor).
+        # lazy_normals skips this pass entirely: the sampler estimates
+        # normals inside its seed windows on demand.
         cam = jnp.asarray(cam_pos, jnp.float32)
-        if cfg.normal_window and pts_dev.shape[0] > cfg.normal_window:
-            finite = pts_dev[:, 0] > -9.9e5
-            big = jnp.asarray(1e9, pts_dev.dtype)
-            lo = jnp.min(jnp.where(finite[:, None], pts_dev, big), axis=0)
-            hi = jnp.max(jnp.where(finite[:, None], pts_dev, -big), axis=0)
-            ok = jnp.any(finite)
-            lo = jnp.where(ok, lo, 0.0)
-            hi = jnp.where(ok, hi, 1.0)
+        finite = pts_dev[:, 0] > -9.9e5
+        big = jnp.asarray(1e9, pts_dev.dtype)
+        lo = jnp.min(jnp.where(finite[:, None], pts_dev, big), axis=0)
+        hi = jnp.max(jnp.where(finite[:, None], pts_dev, -big), axis=0)
+        ok = jnp.any(finite)
+        lo = jnp.where(ok, lo, 0.0)
+        hi = jnp.where(ok, hi, 1.0)
+        if cfg.lazy_normals:
+            normals = None
+        elif cfg.normal_window and pts_dev.shape[0] > cfg.normal_window:
             normals = estimate_normals_knn_window(
                 pts_dev, cam, k=cfg.normal_k, window=cfg.normal_window,
                 bbox=(lo, hi), mesh=self.mesh)
@@ -235,7 +245,9 @@ class GraspDetector:
             pts_dev, normals, k_gpg, self.gripper,
             num_seeds=cfg.max_num_samples,
             min_points_above_table=cfg.select_point_above_table,
-            mesh=self.mesh)
+            mesh=self.mesh, camera_pos=cam, bbox=(lo, hi),
+            normal_k=cfg.normal_k,
+            normal_window=cfg.normal_window or 2048)
         # compact valid candidates ON DEVICE (stable: original order) into a
         # FIXED num_grasps buffer (varying lengths would recompile the jitted
         # scorer every frame) with a validity mask; fetching all ~2850 GPG

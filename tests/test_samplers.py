@@ -407,6 +407,47 @@ class TestCurvatureFrames:
         b = _curvature_frames(sdf, pts_grid, normals)
         assert bool(jnp.all(a == b))
 
+    def test_lazy_normals_agree_with_dense(self):
+        """gpg_sample_candidates(normals=None, camera_pos=...) — normals
+        estimated inside the seed windows — must produce candidates that
+        agree with the dense-normals run: grossly similar valid counts and
+        high per-candidate frame agreement on the shared valid set (the
+        window estimator is a statistical, not bit-exact, stand-in)."""
+        rng = np.random.RandomState(1)
+        n = 1000  # 3000 total: exercises the windowed branch (P > 2W)
+        top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+        front = rng.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
+        side = rng.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+        pts = np.concatenate([top, front, side]).astype(np.float32)
+        pts[:, :2] -= 0.03
+        cam = jnp.asarray([0.5, 0.5, 1.0])
+
+        from pointnetgpd_tpu.ops.cloud import estimate_normals_knn
+
+        dense_n = estimate_normals_knn(jnp.asarray(pts), cam, k=30)
+        g = Gripper()
+        dense = gpg_sample_candidates(
+            jnp.asarray(pts), dense_n, jax.random.PRNGKey(0), g,
+            num_seeds=32, normal_window=1024)
+        lazy = gpg_sample_candidates(
+            jnp.asarray(pts), None, jax.random.PRNGKey(0), g,
+            num_seeds=32, camera_pos=cam, normal_window=1024)
+        va, vb = np.asarray(dense.valid), np.asarray(lazy.valid)
+        assert va.sum() > 0 and vb.sum() > 0
+        both = va & vb
+        # most valid candidates shared (seed selection is identical — same
+        # key — so disagreement can only come from normal estimation)
+        assert both.sum() >= 0.6 * max(va.sum(), vb.sum())
+        fa = np.asarray(dense.frames)[both]
+        fb = np.asarray(lazy.frames)[both]
+        # shared candidates: same seeds/thetas, so the frames differ only
+        # by the estimators' covariance noise — a few degrees of rotation
+        # and a few mm of bottom center
+        cos_app = np.einsum("si,si->s", fa[:, 1], fb[:, 1])
+        assert np.quantile(cos_app, 0.5) > 0.995          # approach ~<6 deg
+        bc_d = np.linalg.norm(fa[:, 0] - fb[:, 0], axis=1)
+        assert np.quantile(bc_d, 0.5) < 5e-3              # bottom center mm
+
     def test_gpg_sdf_curvature_mode_executes(self):
         """curvature_frames=True runs the full sampler path and returns
         well-formed candidates (acceptance on closed SDF surfaces is
