@@ -87,6 +87,14 @@ class DetectorConfig:
     # raw-bound bucket (bit-identical to adaptive_bucket=False, tested).
     adaptive_bucket: bool = False
     adaptive_margin: float = 1.25
+    # host->device dtype for the RAW cloud upload. The tunneled relay moves
+    # ~100 MB/s with a ~9 ms fixed cost, so the 1.2 MB fp32 upload of a 98k
+    # frame is ~20 ms — the largest single stage of the lazy-normals frame.
+    # float16 halves the bytes (measured 21.5 -> 15.4 ms) at a max
+    # quantization error of 2^-11 relative (~0.12 mm at 1 m scene scale,
+    # far below the ~2 mm voxel grid and any depth sensor's noise).
+    # "float32" restores a bit-exact upload.
+    upload_dtype: str = "float16"
 
 
 class GraspDetector:
@@ -185,9 +193,15 @@ class GraspDetector:
                     [points, np.repeat(points[:1], raw_bucket - n_raw, 0)])
 
         # voxel downsample, compacted ON DEVICE (kinect2grasp.py:102-127);
-        # nothing crosses the relay here — the count rides the final fetch
-        packed, count = voxel_downsample_packed(
-            jnp.asarray(points), n_grid=cfg.n_voxel)
+        # nothing crosses the relay here — the count rides the final fetch.
+        # The upload itself rides cfg.upload_dtype (fp16 halves the relay
+        # bytes; cast back to f32 on device before any geometry)
+        if cfg.upload_dtype == "float16":
+            pts_up = jnp.asarray(points.astype(np.float16)) \
+                .astype(jnp.float32)
+        else:
+            pts_up = jnp.asarray(points)
+        packed, count = voxel_downsample_packed(pts_up, n_grid=cfg.n_voxel)
 
         # size bucket from the RAW count (an upper bound on the voxel
         # count): dummy sentinel points far BELOW the table are never seeds

@@ -81,6 +81,49 @@ class TestGraspDetector:
         if len(out["scores"]) > 1:
             assert (np.diff(out["scores"]) <= 1e-7).all()
 
+    def test_fp16_upload_matches_fp32(self):
+        """upload_dtype='float16' (half the relay bytes) must agree with
+        the fp32 upload: quantization is ~0.12 mm at 1 m scale — far below
+        the voxel grid — so candidate yield and frames match closely."""
+        from pointnetgpd_tpu.grasping.gripper import Gripper
+        from pointnetgpd_tpu.inference.scorer import GraspScorer
+        from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+        from pointnetgpd_tpu.robot.node import DetectorConfig, GraspDetector
+
+        rng = np.random.RandomState(5)
+        n = 700
+        top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+        front = rng.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
+        side = rng.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+        pts = np.concatenate([top, front, side]).astype(np.float32)
+        pts[:, :2] -= 0.03
+
+        params, state = init_pointnet_cls(jax.random.PRNGKey(0),
+                                          input_chann=3, k=3)
+        scorer = GraspScorer(params=params, state=state, k=3, num_points=256,
+                             pad_to=32)
+        cam = np.array([0.5, 0.5, 1.0], np.float32)
+        outs = {}
+        for dt in ("float16", "float32"):
+            det = GraspDetector(
+                scorer, Gripper(),
+                DetectorConfig(num_grasps=20, max_num_samples=64,
+                               input_points_num=256, repeat=1,
+                               minimal_points_send_to_point_net=10,
+                               upload_dtype=dt))
+            outs[dt] = det.process_frame(pts, cam, seed=0)
+        a, b = outs["float16"], outs["float32"]
+        na, nb = len(a["all_frames"]), len(b["all_frames"])
+        assert na > 0 and nb > 0
+        # yields agree within the quantization's statistical wiggle
+        assert abs(na - nb) <= max(2, 0.25 * max(na, nb))
+        # the downsampled clouds agree to fp16 resolution
+        pa = np.sort(np.asarray(a["points"]), axis=0)
+        pb = np.sort(np.asarray(b["points"]), axis=0)
+        if pa.shape == pb.shape:
+            close = np.isclose(pa, pb, atol=2e-4).mean()
+            assert close > 0.99
+
     def test_process_frames_pipelined_matches_serial(self):
         """The one-in-flight pipelined stream must yield exactly the same
         results as serial process_frame calls (same seeds per frame)."""
