@@ -66,10 +66,30 @@ def _timed(make_fn, n, reps=3):
     return best
 
 
+def _wait_for_backend(max_tries: int = 5, sleep_s: float = 45.0):
+    """The tunneled TPU attachment occasionally refuses to initialize for a
+    few minutes (UNAVAILABLE at backend setup). Retry with a bound so a
+    transient relay outage doesn't void the whole benchmark run."""
+    import jax
+
+    for attempt in range(max_tries):
+        try:
+            jax.devices()
+            return
+        except Exception as e:
+            if attempt == max_tries - 1:
+                raise
+            print(f"# backend init failed ({e}); retry "
+                  f"{attempt + 1}/{max_tries - 1} in {sleep_s:.0f}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+
+
 def bench_tpu():
     from pointnetgpd_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _wait_for_backend()
 
     import jax
     import jax.numpy as jnp
@@ -337,6 +357,7 @@ def main():
         "vs_baseline": round(cand_per_sec / baseline, 2) if baseline else None,
         "extras": {
             "timing": "fetch-bounded (block_until_ready does not block on this attachment)",
+            "backend": __import__("jax").default_backend(),
             "scene_latency_ms_512_candidates": round(ms_per_scene, 2),
             "bf16_candidates_per_sec": round(bf16_cps, 1),
             "train_samples_per_sec_per_chip_750pt_b128": round(train_sps_chip, 1),

@@ -396,6 +396,10 @@ def _boundary_distance_6d(g6, chunk: int = 16384):
     (C(24,6) = 134,596; C(32,6) = 906,192).
     """
     m, d = g6.shape
+    if m < d:  # degenerate wrench set: the hull has no 6-D interior, so no
+        # facet planes to enumerate — epsilon is 0 (the host path's qhull
+        # raises and is caught to the same value)
+        return jnp.asarray(0.0, g6.dtype)
     subsets = _six_subsets(m)                  # (T, 6) static
     t_total = len(subsets)
     chunk = min(chunk, t_total)

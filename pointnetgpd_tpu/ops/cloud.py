@@ -319,6 +319,13 @@ def seed_window_normals(points, seed_idx, camera_pos, *, k: int = 30,
             nbr = jnp.pad(nbr, ((0, 0), (0, knn - kk)), mode="edge")
         return pd2, normals[nbr], normals[seed_idx]
 
+    # a window holds only ``window`` candidates: clamp the selection widths
+    # (a small normal_window with the default knn=100 would otherwise ask
+    # top_k/approx_min_k for more neighbors than exist) and pad the outputs
+    # back to the static knn width below
+    kk = min(knn, window)
+    kf = min(k, window)
+
     order = jnp.argsort(morton_codes(points, bits=10, bbox=bbox))
     rank = jnp.argsort(order)              # sorted position of each point
     ps = jnp.take(points, order, axis=0)
@@ -338,10 +345,10 @@ def seed_window_normals(points, seed_idx, camera_pos, *, k: int = 30,
         cand = jax.lax.dynamic_slice(ps, (st, 0), (window, 3))   # (W, 3)
         d2s = jnp.sum(jnp.square(cand - s_xyz), axis=-1)         # (W,)
         if exact or jax.default_backend() != "tpu":
-            nd2, nb = jax.lax.top_k(-d2s, knn)
+            nd2, nb = jax.lax.top_k(-d2s, kk)
             pd2 = -nd2
         else:
-            pd2, nb = jax.lax.approx_min_k(d2s, knn)
+            pd2, nb = jax.lax.approx_min_k(d2s, kk)
         nbr_pts = cand[nb]                                       # (K, 3)
         # each neighbor's own k-NN plane fit within the shared window
         cross = jnp.matmul(nbr_pts, cand.T,
@@ -349,9 +356,9 @@ def seed_window_normals(points, seed_idx, camera_pos, *, k: int = 30,
         d2n = (jnp.sum(nbr_pts * nbr_pts, axis=-1)[:, None] - 2.0 * cross
                + jnp.sum(cand * cand, axis=-1)[None, :])
         if exact or jax.default_backend() != "tpu":
-            _, nb2 = jax.lax.top_k(-d2n, k)
+            _, nb2 = jax.lax.top_k(-d2n, kf)
         else:
-            _, nb2 = jax.lax.approx_min_k(d2n, k)
+            _, nb2 = jax.lax.approx_min_k(d2n, kf)
         pts_k = cand[nb2]                                        # (K, k, 3)
         mean = jnp.mean(pts_k, axis=1, keepdims=True)
         centered = pts_k - mean
@@ -369,9 +376,12 @@ def seed_window_normals(points, seed_idx, camera_pos, *, k: int = 30,
         lambda a: jax.vmap(one_seed)(a),
         (seeds_xyz.reshape(n_blocks, seed_chunk, 3),
          starts.reshape(n_blocks, seed_chunk)))
-    pd2 = pd2.reshape(-1, knn)[:s_total]
-    nn = nn.reshape(-1, knn, 3)[:s_total]
+    pd2 = pd2.reshape(-1, kk)[:s_total]
+    nn = nn.reshape(-1, kk, 3)[:s_total]
     sn = sn.reshape(-1, 3)[:s_total]
+    if kk < knn:  # pad to the static knn width with self-duplicates
+        pd2 = jnp.pad(pd2, ((0, 0), (0, knn - kk)), mode="edge")
+        nn = jnp.pad(nn, ((0, 0), (0, knn - kk), (0, 0)), mode="edge")
     return pd2, nn, sn
 
 

@@ -85,6 +85,11 @@ class DetectorConfig:
     # frame's count overflows its bucket (scene suddenly grew), collect
     # detects it host-side and transparently reprocesses that frame at the
     # raw-bound bucket (bit-identical to adaptive_bucket=False, tested).
+    # Default False so frame results depend only on (cloud, seed), not on
+    # the stream history — but the default then pays normals/sampler work
+    # proportional to the RAW count: organized depth streams with heavy
+    # voxel collapse (2-5x at 84k raw, docs/SCALING.md) should turn this on
+    # for production (the measured 84k-stream numbers use it).
     adaptive_bucket: bool = False
     adaptive_margin: float = 1.25
     # host->device dtype for the RAW cloud upload. The tunneled relay moves
@@ -180,6 +185,11 @@ class GraspDetector:
         waits out frame N's relay fetch."""
         cfg = self.cfg
         points = np.asarray(points, np.float32)
+        # keep the UNPADDED cloud for the overflow redo: re-dispatching the
+        # raw-padded array would re-derive n_raw (and so the bound bucket)
+        # from the padded length, which differs from adaptive_bucket=False
+        # whenever raw_pad_to is coarser than cloud_pad_to
+        points_orig = points
 
         # pad the RAW cloud to a size bucket by repeating the first point
         # (same voxel -> downsample result unchanged): the jitted downsample
@@ -281,7 +291,7 @@ class GraspDetector:
             pts_dev, frames, hand_depth=self.gripper.hand_depth,
             width=self.gripper.open_width, seed=seed + 1,
             valid=frame_valid, extra_fetch=(frames, n_valid_dev, count))
-        return pending, pts_dev, bucket, points, cam_pos, seed
+        return pending, pts_dev, bucket, points_orig, cam_pos, seed
 
     def collect_frame(self, dispatched):
         """Fetch half of ``process_frame``: performs the frame's single
@@ -323,8 +333,16 @@ class GraspDetector:
         numpy postprocess. On a real TPU host this hides the fetch latency
         entirely; on the tunneled relay here the fetch drains the whole
         device queue, so the overlap is limited to host-side work (measured
-        honestly in bench.py ``frame_pipelined_fps``). Adds one frame of
-        result latency relative to the serial loop."""
+        honestly as bench.py's ``online_frame_pipelined_ms`` extra). Adds
+        one frame of result latency relative to the serial loop.
+
+        With ``adaptive_bucket`` the bucket predictor lags one EXTRA frame
+        (frame N+1 is dispatched before frame N's voxel count is fetched,
+        so it is sized from frame N-1's): bucket choices — and therefore
+        the PRNG-dependent candidate draws — can differ from a serial
+        ``process_frame`` loop over the same stream. Both are equally valid
+        samples; overflow redo still guarantees no frame truncates real
+        points."""
         pending = None
         for i, points in enumerate(frames_iter):
             nxt = self.dispatch_frame(points, np.asarray(cam_pos, np.float32),
@@ -385,6 +403,13 @@ def run_ros_node(detector: GraspDetector, cam_pos, *,
     pending = None
     while not rospy.is_shutdown():
         if rospy.get_param("/robot_at_home") == "false":
+            if pending is not None:
+                # drop (collect, don't publish) the in-flight frame: it was
+                # captured before the robot moved, and holding it would
+                # publish grasps for a scene that no longer exists once the
+                # robot returns home
+                detector.collect_frame(pending)
+                pending = None
             rospy.loginfo("Robot is moving, waiting for it to go home.")
             rate.sleep()
             continue

@@ -50,14 +50,39 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     Shardings come from the TEMPLATE's arrays (the current topology), not
     from the sharding file orbax wrote at save time — restoring a checkpoint
     saved on a different mesh layout is therefore safe (and the
-    topology-unsafe-restore warning is gone)."""
+    topology-unsafe-restore warning is gone).
+
+    If the stored optimizer state does not match the template's layout
+    (e.g. a checkpoint saved before the optimizer gained ``optax.flatten``,
+    whose Adam moments are one contiguous vector instead of a 44-leaf
+    tree), everything EXCEPT the optimizer state is restored and the
+    template's freshly initialized optimizer state is kept, with a warning
+    — the run resumes with reset Adam moments (exactly the reference's
+    behavior every epoch, main_1v.py:60) rather than failing."""
+    import warnings
+
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
     item = template._asdict()
     restore_args = ocp.checkpoint_utils.construct_restore_args(item)
-    restored = ckptr.restore(os.path.abspath(path), item=item,
-                             restore_args=restore_args)
+    try:
+        restored = ckptr.restore(os.path.abspath(path), item=item,
+                                 restore_args=restore_args)
+    except Exception as full_err:  # opt_state layout mismatch: partial restore
+        partial = {k: v for k, v in item.items() if k != "opt_state"}
+        restore_args = ocp.checkpoint_utils.construct_restore_args(partial)
+        try:
+            restored = ckptr.restore(os.path.abspath(path), item=partial,
+                                     restore_args=restore_args,
+                                     transforms={})
+        except Exception:
+            raise full_err  # not an opt_state mismatch: surface the original
+        warnings.warn(
+            "checkpoint optimizer state does not match the current "
+            "optimizer layout (saved before optax.flatten?); resuming with "
+            "freshly initialized optimizer state", stacklevel=2)
+        restored["opt_state"] = template.opt_state
     return TrainState(**restored)
 
 

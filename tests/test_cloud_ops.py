@@ -199,6 +199,26 @@ class TestSeedWindowNormals:
         # self-distance present (the seed is its own nearest neighbor)
         assert np.asarray(pd2).min(axis=1).max() < 1e-10
 
+    def test_window_smaller_than_knn(self):
+        """A window narrower than the requested neighbor count must clamp
+        the selection (not crash top_k/approx_min_k) and pad the outputs
+        back to the static knn width (regression: DetectorConfig
+        (normal_window=64) with the default knn=100 killed process_frame)."""
+        pts = jnp.asarray(self._scene(n=6000))
+        cam = jnp.asarray([0.2, 0.2, 1.5])
+        seed_idx = jnp.asarray([5, 2000, 4500])
+        pd2, nn, sn = seed_window_normals(pts, seed_idx, cam, k=100, knn=100,
+                                          window=64)
+        assert pd2.shape == (3, 100) and nn.shape == (3, 100, 3)
+        # the pad region duplicates the last in-window neighbor
+        np.testing.assert_array_equal(np.asarray(pd2[:, 63]),
+                                      np.asarray(pd2[:, 99]))
+        # real entries are still sane: seed is its own nearest neighbor and
+        # normals are unit
+        assert np.asarray(pd2).min(axis=1).max() < 1e-10
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(nn), axis=-1), 1.0, atol=1e-5)
+
 
 @pytest.fixture(scope="module")
 def ref_dataset_cls():

@@ -300,3 +300,14 @@ class TestFerrariCanny6DDevice:
         g6 = np.concatenate([np.eye(6), -np.eye(6)]).astype(np.float32)
         dev = float(ferrari_canny_l1_device(g6))
         assert abs(dev - 1.0 / np.sqrt(6)) < 2e-3, dev
+
+    def test_fewer_rows_than_dims_is_zero(self):
+        """M < 6 wrench rows: no 6-D hull interior exists — must return 0
+        like the host path (whose qhull failure is caught), not crash
+        (regression: `0 % 0` in the empty subset enumeration)."""
+        from pointnetgpd_tpu.grasping.quality import ferrari_canny_l1_device
+
+        rng = np.random.RandomState(2)
+        for m in (1, 3, 5):
+            g6 = rng.randn(m, 6).astype(np.float32)
+            assert float(ferrari_canny_l1_device(g6)) == 0.0, m

@@ -164,7 +164,7 @@ class TestGraspDetector:
             assert a["points"].shape == b["points"].shape
 
     def _make_det(self, adaptive=False, cloud_pad_to=512, margin=1.25,
-                  n_voxel=500):
+                  n_voxel=500, raw_pad_to=None):
         from pointnetgpd_tpu.grasping.gripper import Gripper
         from pointnetgpd_tpu.inference.scorer import GraspScorer
         from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
@@ -181,7 +181,8 @@ class TestGraspDetector:
                            minimal_points_send_to_point_net=5,
                            cloud_pad_to=cloud_pad_to,
                            adaptive_bucket=adaptive,
-                           adaptive_margin=margin, n_voxel=n_voxel))
+                           adaptive_margin=margin, n_voxel=n_voxel,
+                           raw_pad_to=raw_pad_to))
 
     @staticmethod
     def _scene(rng, n):
@@ -238,6 +239,29 @@ class TestGraspDetector:
         np.testing.assert_array_equal(out_a["all_scores"],
                                       out_f["all_scores"])
         np.testing.assert_array_equal(out_a["grasps"], out_f["grasps"])
+
+    def test_adaptive_overflow_redo_with_coarse_raw_pad(self):
+        """The overflow redo must re-derive the bound bucket from the
+        ORIGINAL raw count, not the raw-padded length (regression: with
+        raw_pad_to coarser than cloud_pad_to the redo ran a needlessly
+        large bucket and diverged from adaptive_bucket=False)."""
+        rng = np.random.RandomState(7)
+        small = self._scene(rng, 300)
+        big = (rng.rand(2500, 3) * 0.5 - 0.25).astype(np.float32)
+        big[:, 2] = np.abs(big[:, 2]) + 0.02
+        cam = np.array([0.5, 0.5, 1.0], np.float32)
+
+        # raw buckets of 8192 vs cloud buckets of 512: padding `big` to
+        # 8192 raw points must not inflate the redo's bound bucket
+        det_a = self._make_det(adaptive=True, raw_pad_to=8192)
+        det_f = self._make_det(adaptive=False, raw_pad_to=8192)
+        det_a.process_frame(small, cam, seed=0)   # sets a small estimate
+        out_a = det_a.process_frame(big, cam, seed=1)   # overflow -> redo
+        out_f = det_f.process_frame(big, cam, seed=1)
+        np.testing.assert_array_equal(out_a["all_frames"],
+                                      out_f["all_frames"])
+        np.testing.assert_array_equal(out_a["all_scores"],
+                                      out_f["all_scores"])
 
     def test_sharded_detector_matches_single_device(self):
         """The full frame pipeline composed over the 8-device mesh (sharded
@@ -309,15 +333,19 @@ class _GraspConfigList(_AutoNS):
         self.grasps = []
 
 
-def _fake_ros_modules(monkeypatch, cloud_msg, robot_away_first=False):
+def _fake_ros_modules(monkeypatch, cloud_msg, robot_away_first=False,
+                      away_on_calls=()):
     """Install fake rospy/sensor_msgs/visualization_msgs/gpd_grasp_msgs
-    modules; returns the dict that captures published messages."""
+    modules; returns the dict that captures published messages.
+    ``away_on_calls``: get_param call indices (1-based) that report the
+    robot away from home."""
     import sys
     import types
 
     published = {}
     params = {}
     state = {"get_param_calls": 0, "sleeps": 0}
+    away_calls = set(away_on_calls) | ({1} if robot_away_first else set())
 
     class _Publisher:
         def __init__(self, topic, data_class, queue_size=0):
@@ -338,7 +366,7 @@ def _fake_ros_modules(monkeypatch, cloud_msg, robot_away_first=False):
 
     def _get_param(name, *default):
         state["get_param_calls"] += 1
-        if robot_away_first and state["get_param_calls"] == 1:
+        if state["get_param_calls"] in away_calls:
             return "false"
         return params.get(name, default[0] if default else None)
 
@@ -446,6 +474,24 @@ class TestRosNode:
         assert len(det.frames_seen) == 3
         glist = published["/detect_grasps/clustered_grasps"]
         assert len(glist) == 3  # 2 pipelined + 1 drained at shutdown
+
+    def test_pipelined_node_drops_stale_frame_when_robot_moves(
+            self, monkeypatch):
+        """pipeline=True: a frame dispatched BEFORE the robot starts moving
+        must be dropped (collected, not published) — the scene it saw no
+        longer exists by the time the robot is back home."""
+        from pointnetgpd_tpu.robot.node import run_ros_node
+
+        pts = np.random.RandomState(0).rand(64, 3).astype(np.float32)
+        # call 1: home (frame 1 dispatched, held in flight); call 2: away
+        # (in-flight frame must be dropped); call 3: home (frame 2)
+        published, params, state = _fake_ros_modules(
+            monkeypatch, _fake_pc2(pts), away_on_calls=(2,))
+        det = _FakeDetector()
+        run_ros_node(det, cam_pos=np.zeros(3), max_frames=2, pipeline=True)
+        assert len(det.frames_seen) == 2          # both frames processed
+        glist = published["/detect_grasps/clustered_grasps"]
+        assert len(glist) == 1                    # stale frame 1 NOT published
 
     def test_publish_all_and_home_gating(self, monkeypatch):
         """robot_at_home=false defers processing for one tick; publish_all

@@ -229,6 +229,45 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_restores_across_opt_state_layouts(tmp_path):
+    """A checkpoint saved with a DIFFERENT optimizer-state layout (e.g.
+    pre-optax.flatten: 44-leaf Adam moment trees instead of one vector)
+    must still restore params/BN/step, with the optimizer state reset and
+    a warning — not fail the resume."""
+    import warnings
+
+    import optax
+
+    from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+    from pointnetgpd_tpu.training.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from pointnetgpd_tpu.training.train import init_train_state
+
+    params, bn = init_pointnet_cls(jax.random.PRNGKey(3), input_chann=3, k=3)
+    # "old" layout: unflattened Adam (tree-shaped moments)
+    old_state = init_train_state(params, bn, optax.adam(1e-3))
+    old_state = old_state._replace(step=jnp.asarray(11, jnp.int32))
+    save_checkpoint(str(tmp_path), old_state)
+    path = latest_checkpoint(str(tmp_path))
+
+    # current layout: make_optimizer wraps in optax.flatten
+    template = init_train_state(params, bn, make_optimizer(1e-3))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        restored = restore_checkpoint(path, template)
+    assert any("optimizer state" in str(w.message) for w in caught)
+    assert int(restored.step) == 11
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(old_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state keeps the template's (fresh) structure
+    assert (jax.tree_util.tree_structure(restored.opt_state)
+            == jax.tree_util.tree_structure(template.opt_state))
+
+
 def test_pre_cropped_train_step():
     """The non-fused step (pre-cropped clouds) also runs and learns."""
     state, tx = _tiny_state(k=3, lr=0.005)
