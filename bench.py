@@ -69,20 +69,41 @@ def _timed(make_fn, n, reps=3):
 def _wait_for_backend(max_tries: int = 5, sleep_s: float = 45.0):
     """The tunneled TPU attachment occasionally refuses to initialize for a
     few minutes (UNAVAILABLE at backend setup). Retry with a bound so a
-    transient relay outage doesn't void the whole benchmark run."""
-    import jax
+    transient relay outage doesn't void the whole benchmark run.
 
+    Probes in a FRESH subprocess each try: a failed in-process init can
+    leave jax's global backend dict holding only the already-initialized
+    CPU platform, and a second in-process jax.devices() then "succeeds"
+    on that cached CPU-only set — the whole TPU benchmark would silently
+    run (and publish headline numbers) on CPU. After the subprocess says
+    the accelerator is up, the in-process init below sees it first try;
+    a CPU-only result is an error unless BENCH_ALLOW_CPU=1."""
+    import subprocess
+
+    probe = ("import jax; "
+             "print('BACKEND=' + jax.default_backend())")
     for attempt in range(max_tries):
         try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=600).stdout
+        except subprocess.TimeoutExpired:
+            out = ""
+        backend = out.split("BACKEND=")[-1].strip() if "BACKEND=" in out else None
+        if backend and (backend != "cpu" or os.environ.get("BENCH_ALLOW_CPU")):
+            import jax
+
             jax.devices()
             return
-        except Exception as e:
-            if attempt == max_tries - 1:
-                raise
-            print(f"# backend init failed ({e}); retry "
-                  f"{attempt + 1}/{max_tries - 1} in {sleep_s:.0f}s",
-                  file=sys.stderr, flush=True)
-            time.sleep(sleep_s)
+        if attempt == max_tries - 1:
+            raise RuntimeError(
+                f"accelerator backend never initialized (last probe: "
+                f"{backend or 'init failed/hung'}); set BENCH_ALLOW_CPU=1 "
+                f"to benchmark on CPU anyway")
+        print(f"# backend probe got {backend or 'failure'}; retry "
+              f"{attempt + 1}/{max_tries - 1} in {sleep_s:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
 
 
 def bench_tpu():

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -337,6 +338,15 @@ def ferrari_canny_l1(g6, wrench_norm_thresh: float = DEFAULT_WRENCH_NORM_THRESH,
 
 @functools.lru_cache(maxsize=16)
 def _six_subsets(m: int) -> np.ndarray:
+    # C(m, 6) grows combinatorially (C(24,6)=135k, C(32,6)=906k,
+    # C(64,6)=75M): the table itself and the batched solves it drives
+    # would hang/OOM far beyond any cone discretization this metric is
+    # used with (<= 2 contacts x <= 16 cone edges). Fail loudly instead.
+    if m > 40:  # C(40,6) = 3.8M subsets, ~60 MB host table — the ceiling
+        raise ValueError(
+            f"ferrari_canny_l1_device enumerates C({m},6) facet planes "
+            f"({math.comb(m, 6):,}); wrench sets beyond 40 rows should "
+            "use the host-qhull ferrari_canny_l1 instead")
     return np.asarray(list(itertools.combinations(range(m), 6)),
                       dtype=np.int32)
 
@@ -445,9 +455,16 @@ def ferrari_canny_l1_device(g6,
     g6 = jnp.asarray(g6, jnp.float32)
     min_norm_in_hull, coeffs = min_norm_in_simplex(
         g6, num_iters=num_iters, wrench_regularizer=wrench_regularizer)
-    dist = _boundary_distance_6d(g6)
     in_hull = min_norm_in_hull <= wrench_norm_thresh
     full_rank = jnp.sum(coeffs > 1e-4) > g6.shape[1] - 1
+    if not isinstance(g6, jax.core.Tracer):
+        # eager call (the per-grasp labeling loop's shape): when the hull
+        # guards already force 0 — the common case for non-force-closure
+        # grasps — skip dispatching the C(M,6) facet enumeration whose
+        # result jnp.where would discard anyway
+        if not bool(in_hull & full_rank):
+            return jnp.asarray(0.0, jnp.float32)
+    dist = _boundary_distance_6d(g6)
     return jnp.where(in_hull & full_rank, dist, 0.0)
 
 

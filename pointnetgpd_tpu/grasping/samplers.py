@@ -374,6 +374,12 @@ def gpg_sample_candidates(
             if camera_pos is None:
                 raise ValueError(
                     "gpg_sample_candidates(normals=None) needs camera_pos")
+            if normal_window <= 0:
+                raise ValueError(
+                    "gpg_sample_candidates(normals=None) estimates normals "
+                    "inside seed windows and needs normal_window > 0; for "
+                    "exact all-pairs normals, pass precomputed normals "
+                    "(ops.cloud.estimate_normals_knn)")
             # lazy path: neighbors + their normals from one Morton window
             # per seed (ops/cloud.seed_window_normals) — no whole-cloud
             # normals pass

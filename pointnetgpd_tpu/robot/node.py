@@ -69,7 +69,9 @@ class DetectorConfig:
     # None: use cloud_pad_to (then warmup() covers both bucket families).
     raw_pad_to: int | None = None
     # Morton-window KNN normals (O(P*window) instead of O(P^2)) kick in
-    # for clouds larger than this window; 0 disables (always all-pairs)
+    # for clouds larger than this window; 0 disables every windowed
+    # approximation — including lazy_normals, which is built on the same
+    # seed-window estimator — forcing whole-cloud all-pairs normals
     normal_window: int = 2048
     # estimate normals LAZILY inside the GPG seed windows only (the sampler
     # is the frame pipeline's sole normals consumer): skips the whole-cloud
@@ -253,7 +255,10 @@ class GraspDetector:
         ok = jnp.any(finite)
         lo = jnp.where(ok, lo, 0.0)
         hi = jnp.where(ok, hi, 1.0)
-        if cfg.lazy_normals:
+        if cfg.lazy_normals and cfg.normal_window:
+            # normal_window=0 wins over lazy_normals: lazy estimation IS
+            # the windowed approximation, so "always all-pairs" must fall
+            # through to the whole-cloud exact path below
             normals = None
         elif cfg.normal_window and pts_dev.shape[0] > cfg.normal_window:
             normals = estimate_normals_knn_window(
@@ -271,7 +276,7 @@ class GraspDetector:
             min_points_above_table=cfg.select_point_above_table,
             mesh=self.mesh, camera_pos=cam, bbox=(lo, hi),
             normal_k=cfg.normal_k,
-            normal_window=cfg.normal_window or 2048)
+            normal_window=cfg.normal_window)
         # compact valid candidates ON DEVICE (stable: original order) into a
         # FIXED num_grasps buffer (varying lengths would recompile the jitted
         # scorer every frame) with a validity mask; fetching all ~2850 GPG

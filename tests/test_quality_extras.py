@@ -311,3 +311,28 @@ class TestFerrariCanny6DDevice:
         for m in (1, 3, 5):
             g6 = rng.randn(m, 6).astype(np.float32)
             assert float(ferrari_canny_l1_device(g6)) == 0.0, m
+
+    def test_oversized_wrench_set_raises(self):
+        """M > 40 rows: C(M,6) facet enumeration would hang/OOM the host
+        (C(64,6)=75M subsets) — must fail loudly with a pointer to the
+        host-qhull path, not silently churn."""
+        from pointnetgpd_tpu.grasping.quality import ferrari_canny_l1_device
+
+        g6 = np.random.RandomState(3).randn(64, 6).astype(np.float32)
+        with pytest.raises(ValueError, match="host-qhull"):
+            ferrari_canny_l1_device(g6)
+
+    def test_non_closure_eager_early_out_skips_enumeration(self, monkeypatch):
+        """An eagerly-called non-force-closure wrench set (origin outside
+        the hull) must return 0 WITHOUT dispatching the C(M,6) facet
+        enumeration — the dominant cost of per-grasp labeling loops."""
+        from pointnetgpd_tpu.grasping import quality
+
+        called = []
+        monkeypatch.setattr(
+            quality, "_boundary_distance_6d",
+            lambda *a, **k: called.append(1) or jnp.float32(1.0))
+        # all rows in the +x half-space: origin strictly outside the hull
+        g6 = (np.random.RandomState(4).rand(24, 6) + 1.0).astype(np.float32)
+        assert float(quality.ferrari_canny_l1_device(g6)) == 0.0
+        assert not called

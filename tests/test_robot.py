@@ -164,7 +164,7 @@ class TestGraspDetector:
             assert a["points"].shape == b["points"].shape
 
     def _make_det(self, adaptive=False, cloud_pad_to=512, margin=1.25,
-                  n_voxel=500, raw_pad_to=None):
+                  n_voxel=500, raw_pad_to=None, **cfg_kw):
         from pointnetgpd_tpu.grasping.gripper import Gripper
         from pointnetgpd_tpu.inference.scorer import GraspScorer
         from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
@@ -182,7 +182,7 @@ class TestGraspDetector:
                            cloud_pad_to=cloud_pad_to,
                            adaptive_bucket=adaptive,
                            adaptive_margin=margin, n_voxel=n_voxel,
-                           raw_pad_to=raw_pad_to))
+                           raw_pad_to=raw_pad_to, **cfg_kw))
 
     @staticmethod
     def _scene(rng, n):
@@ -262,6 +262,25 @@ class TestGraspDetector:
                                       out_f["all_frames"])
         np.testing.assert_array_equal(out_a["all_scores"],
                                       out_f["all_scores"])
+
+    def test_normal_window_zero_disables_lazy_windowing(self):
+        """normal_window=0 is documented as 'always all-pairs': it must win
+        over the default lazy_normals=True (which is built on the windowed
+        seed estimator) and reproduce the lazy_normals=False flow exactly
+        (regression: `cfg.normal_window or 2048` silently re-enabled the
+        window)."""
+        rng = np.random.RandomState(11)
+        pts = self._scene(rng, 400)
+        cam = np.array([0.5, 0.5, 1.0], np.float32)
+        out_zero = self._make_det(normal_window=0).process_frame(
+            pts, cam, seed=3)
+        out_dense = self._make_det(normal_window=0,
+                                   lazy_normals=False).process_frame(
+            pts, cam, seed=3)
+        np.testing.assert_array_equal(out_zero["all_frames"],
+                                      out_dense["all_frames"])
+        np.testing.assert_array_equal(out_zero["all_scores"],
+                                      out_dense["all_scores"])
 
     def test_sharded_detector_matches_single_device(self):
         """The full frame pipeline composed over the 8-device mesh (sharded

@@ -514,3 +514,17 @@ class TestGpgOutputOrderUnbiased:
         assert len(np.unique(cid)) >= 2, (
             "first valid candidates all in one cluster: output order is "
             "spatially sorted")
+
+
+def test_lazy_normals_require_positive_window():
+    """normals=None with normal_window<=0 must fail loudly: the lazy path
+    IS the windowed estimator, so there is no all-pairs fallback to hide
+    behind (the detector maps normal_window=0 to the dense flow instead)."""
+    import pytest
+
+    pts = np.random.RandomState(0).rand(256, 3).astype(np.float32)
+    with pytest.raises(ValueError, match="normal_window > 0"):
+        gpg_sample_candidates(
+            jnp.asarray(pts), None, jax.random.PRNGKey(0), Gripper(),
+            num_seeds=8, camera_pos=jnp.asarray([0.5, 0.5, 1.0]),
+            normal_window=0)
