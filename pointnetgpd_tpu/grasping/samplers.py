@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import sdf as sdf_lib
-from ..ops.cloud import extreme_eigvecs_sym3x3
+from ..ops.cloud import extreme_eigvecs_sym3x3, min_k, pairwise_d2
 from ..ops.gpg_counts_pallas import GpgScanContext, gpg_scan_counts_jnp
 from . import quality
 from .gripper import Gripper, collision_and_open_counts, hand_points, panel_box_array
@@ -390,21 +390,10 @@ def gpg_sample_candidates(
                 k=normal_k, knn=knn, window=normal_window, exact=exact,
                 bbox=bbox)
         else:
-            d2 = (jnp.sum(seeds_xyz * seeds_xyz, axis=1)[:, None]
-                  - 2.0 * jnp.matmul(seeds_xyz, points.T,
-                                     precision=jax.lax.Precision.HIGHEST)
-                  + jnp.sum(points * points, axis=1)[None, :])   # (S, P)
             # cap the neighbor count like the KD-tree's max_nn=100, then
-            # the r-ball filter. approx_min_k on TPU (exact top_k
-            # elsewhere): ~0.95 recall/neighbor; the normal-covariance
-            # frame is a statistical estimate over ~100 neighbors,
-            # insensitive to an occasional swapped one (same trade as
-            # estimate_normals_knn)
-            if jax.default_backend() == "tpu" and not exact:
-                pd2, nbr = jax.lax.approx_min_k(d2, knn)   # (S, knn)
-            else:
-                nd2, nbr = jax.lax.top_k(-d2, knn)
-                pd2 = -nd2
+            # the r-ball filter; approx_min_k/top_k trade via ops.cloud.min_k
+            pd2, nbr = min_k(pairwise_d2(seeds_xyz, points), knn,
+                             exact)                        # (S, knn)
             nn = normals[nbr]                              # (S, knn, 3)
             seed_normals = normals[seed_idx]
         # self-exclusion threshold 1e-8 m^2 (0.1 mm): the matmul-form d2
