@@ -20,11 +20,23 @@ Inputs vary per iteration (fresh PRNG keys / rotating buffers) because the
 relay can also elide re-dispatch of identical (executable, args) pairs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+UN-VOIDABLE EMIT CONTRACT: the JSON line is printed on EVERY exit path —
+normal completion, any exception, SIGTERM/SIGINT (the driver's `timeout`
+sends SIGTERM first), and a watchdog deadline (BENCH_DEADLINE_S, default
+1500 s) that fires before typical external kill budgets. Results are staged
+into the output dict as each benchmark family completes, so a mid-run kill
+still publishes the families that finished; a dead backend publishes
+{"value": null, "error": ...} instead of nothing. (Round 3's bench was
+voided by an unbounded backend-retry loop that printed only at the very
+end: BENCH_r03.json rc=124, parsed=null.)
 """
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -33,6 +45,59 @@ NUM_POINTS = 750
 N_CANDIDATES = 512
 SCENE_POINTS = 20000
 REF_ROOT = "/root/reference/PointNetGPD"
+
+# ---------------------------------------------------------------------------
+# Staged single-emit machinery: RESULT is mutated in place as families finish;
+# _emit_once prints it exactly once, whichever exit path gets there first.
+# ---------------------------------------------------------------------------
+
+RESULT = {
+    "metric": "grasp_candidates_scored_per_sec_750pt",
+    "value": None,
+    "unit": "candidates/s",
+    "vs_baseline": None,
+    "extras": {
+        "timing": "fetch-bounded (block_until_ready does not block on this "
+                  "attachment)",
+    },
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _emit_once(error: str | None = None) -> None:
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        if error and RESULT["value"] is None:
+            RESULT["error"] = error
+        elif error:
+            RESULT["extras"]["partial"] = error
+        print(json.dumps(RESULT), flush=True)
+
+
+def _install_emit_guards(deadline_s: float) -> None:
+    """Emit the staged result on SIGTERM/SIGINT and at a hard deadline."""
+
+    def _on_signal(signum, frame):
+        _emit_once(error=f"killed by signal {signum} mid-run")
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except (ValueError, OSError):
+            pass  # non-main thread / restricted env
+
+    def _on_deadline():
+        _emit_once(error=f"watchdog deadline {deadline_s:.0f}s hit mid-run")
+        os._exit(0)
+
+    t = threading.Timer(deadline_s, _on_deadline)
+    t.daemon = True
+    t.start()
 
 
 def _sync(x):
@@ -66,10 +131,13 @@ def _timed(make_fn, n, reps=3):
     return best
 
 
-def _wait_for_backend(max_tries: int = 5, sleep_s: float = 45.0):
+def _wait_for_backend(max_tries: int = 3, sleep_s: float = 30.0,
+                      probe_timeout_s: float = 60.0):
     """The tunneled TPU attachment occasionally refuses to initialize for a
-    few minutes (UNAVAILABLE at backend setup). Retry with a bound so a
-    transient relay outage doesn't void the whole benchmark run.
+    few minutes (UNAVAILABLE at backend setup). Retry with a TIGHT bound —
+    worst case 3x60s probes + 2x30s sleeps = 4 min — so a relay outage
+    surfaces as an explicit error JSON line well inside the driver's kill
+    budget instead of voiding the run (the round-3 failure mode).
 
     Probes in a FRESH subprocess each try: a failed in-process init can
     leave jax's global backend dict holding only the already-initialized
@@ -86,7 +154,7 @@ def _wait_for_backend(max_tries: int = 5, sleep_s: float = 45.0):
         try:
             out = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True,
-                text=True, timeout=600).stdout
+                text=True, timeout=probe_timeout_s).stdout
         except subprocess.TimeoutExpired:
             out = ""
         backend = out.split("BACKEND=")[-1].strip() if "BACKEND=" in out else None
@@ -94,6 +162,7 @@ def _wait_for_backend(max_tries: int = 5, sleep_s: float = 45.0):
             import jax
 
             jax.devices()
+            RESULT["extras"]["backend"] = backend
             return
         if attempt == max_tries - 1:
             raise RuntimeError(
@@ -106,11 +175,14 @@ def _wait_for_backend(max_tries: int = 5, sleep_s: float = 45.0):
         time.sleep(sleep_s)
 
 
-def bench_tpu():
+def bench_tpu(baseline):
+    # backend first, cache second: enabling the cache needs no backend, but
+    # keeping ALL jax initialization behind the subprocess probe preserves
+    # the probe's guarantee (no half-initialized CPU-only backend dict).
+    _wait_for_backend()
     from pointnetgpd_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    _wait_for_backend()
 
     import jax
     import jax.numpy as jnp
@@ -144,6 +216,10 @@ def bench_tpu():
 
     dt = _timed(scene, n=20)
     cand_per_sec = N_CANDIDATES / dt
+    RESULT["value"] = round(cand_per_sec, 1)
+    RESULT["extras"]["scene_latency_ms_512_candidates"] = round(dt * 1e3, 2)
+    if baseline:
+        RESULT["vs_baseline"] = round(cand_per_sec / baseline, 2)
 
     # bf16 variant (GraspScorer.as_dtype path): memory knob, ~parity with
     # fp32 in speed (f32 matmuls already run bf16 MXU passes; README)
@@ -158,6 +234,7 @@ def bench_tpu():
             num_points=NUM_POINTS, repeat=1, min_points=10)
 
     cand_per_sec_bf16 = N_CANDIDATES / _timed(scene16, n=20)
+    RESULT["extras"]["bf16_candidates_per_sec"] = round(cand_per_sec_bf16, 1)
 
     # train samples/sec/chip (fused crop+fwd+bwd+Adam, batch 128)
     from pointnetgpd_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
@@ -193,7 +270,11 @@ def bench_tpu():
         return batch / _timed(train_iter, n=10) / n_chips
 
     train_sps_chip = train_rate(None)                 # fp32 (parity mode)
+    RESULT["extras"]["train_samples_per_sec_per_chip_750pt_b128"] = round(
+        train_sps_chip, 1)
     train_sps_chip_bf16 = train_rate(jnp.bfloat16)    # mixed precision
+    RESULT["extras"]["train_bf16_samples_per_sec_per_chip"] = round(
+        train_sps_chip_bf16, 1)
 
     # dataset-generation labeling rate: antipodal sampling + friction-ladder
     # force-closure + Ferrari-Canny, all on device (generate-dataset-canny.py
@@ -222,9 +303,28 @@ def bench_tpu():
     dt_label = _timed(label_round, n=5)
     # count labeled grasps from one round (single small fetch, post-timing)
     labels_per_sec = float(jnp.sum(label_round(0))) / dt_label
+    RESULT["extras"]["labeled_grasps_per_sec"] = round(labels_per_sec, 1)
 
-    return (cand_per_sec, train_sps_chip, dt * 1e3, cand_per_sec_bf16,
-            labels_per_sec, train_sps_chip_bf16)
+    # FULL 6-D epsilon labels (force + torque rows, C(16,6) facet
+    # enumeration per accepted grasp, jit-safe non-closure skip via
+    # lax.map+cond — grasping/quality.ferrari_canny_l1_device_batch)
+    from pointnetgpd_tpu.grasping.evaluation import evaluate_ferrari_canny_6d
+
+    com = np.zeros(3, np.float32)
+
+    def label6_round(seed):
+        s = antipodal_sample_grasps(
+            sphere, jax.random.PRNGKey(seed), max_width=0.10,
+            friction_coef=float(FC_LIST_LESS_CLASS[0]), num_attempts=256,
+            num_samples_loa=48)
+        quals, _ = evaluate_ferrari_canny_6d(
+            sphere, s.configs, com, float(FC_LIST_LESS_CLASS[0]),
+            num_samples=48, torque_scaling=10.0)
+        return quals
+
+    dt6 = _timed(label6_round, n=3)
+    n6 = float(jnp.sum(label6_round(0) > 0))
+    RESULT["extras"]["labeled_grasps_per_sec_6d"] = round(n6 / dt6, 1)
 
 
 def bench_voxelizer_extra():
@@ -360,38 +460,42 @@ def bench_reference_torch():
 
 
 def main():
-    (cand_per_sec, train_sps_chip, ms_per_scene, bf16_cps,
-     labels_per_sec, train_sps_bf16) = bench_tpu()
+    _install_emit_guards(float(os.environ.get("BENCH_DEADLINE_S", "1500")))
+    err = None
     try:
-        vox = bench_voxelizer_extra()
-    except Exception:
-        vox = None
-    try:
-        frame_ms, frame_piped_ms = bench_frame_pipeline()
-    except Exception:
-        frame_ms = frame_piped_ms = None
-    baseline = bench_reference_torch()
-    result = {
-        "metric": "grasp_candidates_scored_per_sec_750pt",
-        "value": round(cand_per_sec, 1),
-        "unit": "candidates/s",
-        "vs_baseline": round(cand_per_sec / baseline, 2) if baseline else None,
-        "extras": {
-            "timing": "fetch-bounded (block_until_ready does not block on this attachment)",
-            "backend": __import__("jax").default_backend(),
-            "scene_latency_ms_512_candidates": round(ms_per_scene, 2),
-            "bf16_candidates_per_sec": round(bf16_cps, 1),
-            "train_samples_per_sec_per_chip_750pt_b128": round(train_sps_chip, 1),
-            "train_bf16_samples_per_sec_per_chip": round(train_sps_bf16, 1),
-            "labeled_grasps_per_sec": round(labels_per_sec, 1),
-            "reference_torch_cpu_candidates_per_sec": round(baseline, 1) if baseline else None,
-            "voxelizer_pallas_ms_100cube_8192tri": round(vox[0], 1) if vox else None,
-            "voxelizer_pallas_speedup_vs_xla": round(vox[1], 2) if vox else None,
-            "online_frame_ms_18k_tabletop_150_seeds": round(frame_ms, 1) if frame_ms else None,
-            "online_frame_pipelined_ms": round(frame_piped_ms, 1) if frame_piped_ms else None,
-        },
-    }
-    print(json.dumps(result))
+        # reference baseline first: CPU-only, independent of the TPU relay,
+        # so even a dead-backend run publishes it
+        try:
+            baseline = bench_reference_torch()
+        except Exception as e:
+            print(f"# reference baseline failed: {e}", file=sys.stderr)
+            baseline = None
+        if baseline:
+            RESULT["extras"]["reference_torch_cpu_candidates_per_sec"] = \
+                round(baseline, 1)
+        bench_tpu(baseline)
+        try:
+            vox = bench_voxelizer_extra()
+        except Exception:
+            vox = None
+        if vox:
+            RESULT["extras"]["voxelizer_pallas_ms_100cube_8192tri"] = \
+                round(vox[0], 1)
+            RESULT["extras"]["voxelizer_pallas_speedup_vs_xla"] = \
+                round(vox[1], 2)
+        try:
+            frame_ms, frame_piped_ms = bench_frame_pipeline()
+        except Exception:
+            frame_ms = frame_piped_ms = None
+        if frame_ms:
+            RESULT["extras"]["online_frame_ms_18k_tabletop_150_seeds"] = \
+                round(frame_ms, 1)
+            RESULT["extras"]["online_frame_pipelined_ms"] = \
+                round(frame_piped_ms, 1)
+    except Exception as e:
+        err = f"{type(e).__name__}: {e}"
+    finally:
+        _emit_once(error=err)
 
 
 if __name__ == "__main__":

@@ -109,6 +109,41 @@ def evaluate_ferrari_canny(sdf: sdf_lib.SdfGrid, configs, center_of_mass,
     return quals, contacts
 
 
+@functools.partial(jax.jit, static_argnames=("num_samples", "check_approach",
+                                             "num_cone_faces"))
+def evaluate_ferrari_canny_6d(sdf: sdf_lib.SdfGrid, configs, center_of_mass,
+                              friction_coef, *, num_samples: int = 40,
+                              check_approach: bool = False,
+                              num_cone_faces: int = 8,
+                              torque_scaling: float = 1.0):
+    """Batched FULL 6-D Ferrari-Canny labels (force + scaled torque rows,
+    the reference's ferrari_canny_L1 with the quasi-static wrench basis —
+    quality.py:527-623 via grasp_matrix :191-243), entirely on device.
+
+    The per-grasp epsilon runs through ``ferrari_canny_l1_device_batch``:
+    grasps rejected by the hull guards (non-force-closure) skip the C(M,6)
+    facet enumeration even under jit — cost shape identical to the eager
+    loop. friction_coef scalar or (G,). Returns (qualities (G,), contacts).
+    """
+    contacts = close_fingers(sdf, configs, num_samples=num_samples,
+                             check_approach=check_approach)
+    mu = jnp.broadcast_to(jnp.asarray(friction_coef), configs.shape[:1])
+
+    def one(found, points, normals, in_dirs, m):
+        cw = contact_wrenches(
+            Contacts(found[None], points[None], normals[None], in_dirs[None]),
+            center_of_mass, m, num_cone_faces)
+        g6 = jnp.concatenate(
+            [cw.forces[0], torque_scaling * cw.torques[0]], axis=1)  # (M, 6)
+        return g6, found & cw.valid[0]
+
+    g6_all, valid = jax.vmap(one)(contacts.found, contacts.points,
+                                  contacts.normals, contacts.in_directions,
+                                  mu)
+    quals = quality.ferrari_canny_l1_device_batch(g6_all, valid)
+    return quals, contacts
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples", "n_fc"))
 def friction_boundary_labels(sdf: sdf_lib.SdfGrid, configs, fc_list,
                              *, num_samples: int = 40, n_fc: int = 3):

@@ -457,15 +457,65 @@ def ferrari_canny_l1_device(g6,
         g6, num_iters=num_iters, wrench_regularizer=wrench_regularizer)
     in_hull = min_norm_in_hull <= wrench_norm_thresh
     full_rank = jnp.sum(coeffs > 1e-4) > g6.shape[1] - 1
-    if not isinstance(g6, jax.core.Tracer):
+    ok = in_hull & full_rank
+    if not isinstance(ok, jax.core.Tracer):
         # eager call (the per-grasp labeling loop's shape): when the hull
         # guards already force 0 — the common case for non-force-closure
-        # grasps — skip dispatching the C(M,6) facet enumeration whose
-        # result jnp.where would discard anyway
-        if not bool(in_hull & full_rank):
+        # grasps — skip even DISPATCHING the C(M,6) facet enumeration
+        if not bool(ok):
             return jnp.asarray(0.0, jnp.float32)
-    dist = _boundary_distance_6d(g6)
-    return jnp.where(in_hull & full_rank, dist, 0.0)
+        return _boundary_distance_6d(g6)
+    # traced (jit / scan): lax.cond keeps the skip — a rejected grasp pays
+    # only the min-norm QP, not the C(M,6) enumeration. (Under vmap, cond
+    # lowers to select and both branches run: batch callers should use
+    # ferrari_canny_l1_device_batch, whose lax.map keeps cond a real branch.)
+    return jax.lax.cond(
+        ok, _boundary_distance_6d,
+        lambda g: jnp.asarray(0.0, jnp.float32), g6)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def ferrari_canny_l1_device_batch(
+        g6_batch, valid=None,
+        wrench_norm_thresh: float = DEFAULT_WRENCH_NORM_THRESH,
+        wrench_regularizer: float = DEFAULT_WRENCH_REGULARIZER,
+        num_iters: int = 300):
+    """Batched 6-D epsilon metric over (G, M, 6) wrench sets, jit-safe with
+    the REAL non-closure skip.
+
+    The batch axis runs under ``lax.map`` (sequential scan), not ``vmap``:
+    inside a scan, ``lax.cond`` stays a genuine branch, so grasps whose hull
+    guards fail (or whose ``valid`` mask is False) cost only the min-norm QP
+    — the same cost shape as the eager per-grasp loop. A vmapped cond would
+    lower to select and pay the C(M,6) facet enumeration (134k 6x6 solves at
+    M=24) for every rejected grasp. The enumeration itself is already
+    chunk-batched on the MXU/VPU inside ``_boundary_distance_6d``, so the
+    sequential grasp axis loses no device parallelism worth having.
+
+    valid: optional (G,) bool — e.g. close_fingers' found & cone validity.
+    Returns (G,) qualities (0 where rejected). Reference hot loop:
+    generate-dataset-canny.py:109-133.
+    """
+    g6_batch = jnp.asarray(g6_batch, jnp.float32)
+    if valid is None:
+        valid = jnp.ones(g6_batch.shape[:1], bool)
+    # hull guards for the WHOLE batch in parallel (the min-norm QP is a
+    # fixed-iteration projected-gradient loop — vmap costs nothing and
+    # avoids serializing G x num_iters steps through the scan below)
+    mn, coeffs = jax.vmap(
+        lambda g: min_norm_in_simplex(
+            g, num_iters=num_iters,
+            wrench_regularizer=wrench_regularizer))(g6_batch)
+    ok = (valid & (mn <= wrench_norm_thresh)
+          & (jnp.sum(coeffs > 1e-4, axis=1) > g6_batch.shape[2] - 1))
+
+    def one(args):
+        g6, ok_i = args
+        return jax.lax.cond(
+            ok_i, _boundary_distance_6d,
+            lambda g: jnp.asarray(0.0, jnp.float32), g6)
+
+    return jax.lax.map(one, (g6_batch, ok))
 
 
 def force_closure_qp(g, wrench_norm_thresh: float = DEFAULT_WRENCH_NORM_THRESH,

@@ -329,8 +329,13 @@ def seed_window_normals(points, seed_idx, camera_pos, *, k: int = 30,
         seeds_xyz = points[seed_idx]
         kk = min(knn, p_total)
         pd2, nbr = min_k(pairwise_d2(seeds_xyz, points), kk, exact)
-        if kk < knn:  # pad to the static knn width with self-duplicates
-            pd2 = jnp.pad(pd2, ((0, 0), (0, knn - kk)), mode="edge")
+        if kk < knn:  # pad to the static knn width; the pd2 sentinel (far
+            # beyond any r-ball radius) makes the consumer's distance filter
+            # mask the padded columns — edge-duplicating pd2 would instead
+            # weight the farthest real neighbor multiple times in the
+            # sampler's covariance frame whenever it lands inside r_ball
+            pd2 = jnp.pad(pd2, ((0, 0), (0, knn - kk)),
+                          constant_values=1e9)
             nbr = jnp.pad(nbr, ((0, 0), (0, knn - kk)), mode="edge")
         return pd2, normals[nbr], normals[seed_idx]
 
@@ -383,8 +388,9 @@ def seed_window_normals(points, seed_idx, camera_pos, *, k: int = 30,
     pd2 = pd2.reshape(-1, kk)[:s_total]
     nn = nn.reshape(-1, kk, 3)[:s_total]
     sn = sn.reshape(-1, 3)[:s_total]
-    if kk < knn:  # pad to the static knn width with self-duplicates
-        pd2 = jnp.pad(pd2, ((0, 0), (0, knn - kk)), mode="edge")
+    if kk < knn:  # pad to the static knn width; pd2 gets a far sentinel so
+        # the consumer's r-ball filter masks padded columns (see above)
+        pd2 = jnp.pad(pd2, ((0, 0), (0, knn - kk)), constant_values=1e9)
         nn = jnp.pad(nn, ((0, 0), (0, knn - kk), (0, 0)), mode="edge")
     return pd2, nn, sn
 

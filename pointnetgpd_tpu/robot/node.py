@@ -98,10 +98,41 @@ class DetectorConfig:
     # ~100 MB/s with a ~9 ms fixed cost, so the 1.2 MB fp32 upload of a 98k
     # frame is ~20 ms — the largest single stage of the lazy-normals frame.
     # float16 halves the bytes (measured 21.5 -> 15.4 ms) at a max
-    # quantization error of 2^-11 relative (~0.12 mm at 1 m scene scale,
-    # far below the ~2 mm voxel grid and any depth sensor's noise).
-    # "float32" restores a bit-exact upload.
+    # quantization error of half an fp16 ULP — ~0.25-0.5 mm at coordinates
+    # in [0.5, 2) m — below the ~2 mm voxel grid and any depth sensor's
+    # noise. "float32" restores a bit-exact upload.
     upload_dtype: str = "float16"
+    # force exact top-k neighbor selection inside the GPG sampler's
+    # seed-window frames (grasping/samplers.py gpg_sample_candidates
+    # ``exact``); parity audits pin the reference's exact-KNN semantics
+    sampler_exact: bool = False
+
+    @classmethod
+    def reference_parity(cls, **overrides) -> "DetectorConfig":
+        """The reference-shaped flow in ONE switch: whole-cloud exact
+        all-pairs KNN normals computed up front (kinect2grasp.py:131-144),
+        bit-exact fp32 upload, raw-count size buckets, exact seed-window
+        KNN. Every windowed/lazy/lossy production shortcut off — use this
+        for parity audits against the reference pipeline."""
+        cfg = dict(lazy_normals=False, upload_dtype="float32",
+                   normal_window=0, adaptive_bucket=False,
+                   sampler_exact=True)
+        cfg.update(overrides)
+        return cls(**cfg)
+
+    @classmethod
+    def production(cls, **overrides) -> "DetectorConfig":
+        """The exact configuration behind the benchmarked stream numbers
+        (docs/SCALING.md 84k-raw frame measurements): lazy seed-window
+        normals, fp16 relay upload, Morton-window KNN, adaptive voxel-count
+        buckets. Statistical approximations with measured error bars
+        (docs/NORMAL_APPROX.md); results depend on stream history via the
+        bucket predictor."""
+        cfg = dict(lazy_normals=True, upload_dtype="float16",
+                   normal_window=2048, adaptive_bucket=True,
+                   sampler_exact=False)
+        cfg.update(overrides)
+        return cls(**cfg)
 
 
 class GraspDetector:
@@ -263,9 +294,13 @@ class GraspDetector:
         elif cfg.normal_window and pts_dev.shape[0] > cfg.normal_window:
             normals = estimate_normals_knn_window(
                 pts_dev, cam, k=cfg.normal_k, window=cfg.normal_window,
-                bbox=(lo, hi), mesh=self.mesh)
+                bbox=(lo, hi), mesh=self.mesh, exact=cfg.sampler_exact)
         else:
-            normals = estimate_normals_knn(pts_dev, cam, k=cfg.normal_k)
+            # sampler_exact also pins the whole-cloud neighbor selection
+            # (the reference's pcl KSearch is an exact KNN) — the parity
+            # preset turns every approx_min_k in the frame into top_k
+            normals = estimate_normals_knn(pts_dev, cam, k=cfg.normal_k,
+                                           exact=cfg.sampler_exact)
 
         # GPG candidates (kinect2grasp.py:154-173 -> grasp_sampler.py:1389+)
         key = jax.random.PRNGKey(seed)
@@ -276,7 +311,7 @@ class GraspDetector:
             min_points_above_table=cfg.select_point_above_table,
             mesh=self.mesh, camera_pos=cam, bbox=(lo, hi),
             normal_k=cfg.normal_k,
-            normal_window=cfg.normal_window)
+            normal_window=cfg.normal_window, exact=cfg.sampler_exact)
         # compact valid candidates ON DEVICE (stable: original order) into a
         # FIXED num_grasps buffer (varying lengths would recompile the jitted
         # scorer every frame) with a validity mask; fetching all ~2850 GPG

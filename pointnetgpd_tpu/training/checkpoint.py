@@ -44,6 +44,47 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
     return os.path.join(os.path.abspath(ckpt_dir), f"step_{max(steps)}")
 
 
+def _key_name(k) -> str:
+    """Normalize a jax KeyEntry to a bare name: orbax's metadata tree
+    renders namedtuple fields as dict keys (``['count']``) where the live
+    template's key path uses attribute access (``.count``)."""
+    for attr in ("key", "name", "idx"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
+def _leaf_outline(tree):
+    """Sorted (normalized-key-path, shape) outline of a pytree's leaves —
+    the structural fingerprint two optimizer-state layouts are compared by."""
+    out = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        shape = getattr(leaf, "shape", None)
+        out.append((tuple(_key_name(k) for k in path),
+                    tuple(shape) if shape is not None else ()))
+    return sorted(out)
+
+
+def _saved_opt_state_matches(path: str, template: TrainState) -> bool | None:
+    """Structurally compare the CHECKPOINT's saved opt_state layout (from
+    orbax metadata — no array data read) against the template's.
+
+    Returns True/False on a definitive comparison, None when the metadata
+    is unreadable (older orbax / foreign checkpoint) — the caller then
+    attempts the full restore and lets any error surface, rather than
+    guessing. This replaces a broad try/except fallback that could not
+    distinguish an intended layout migration from a transiently corrupt or
+    unreadable opt_state file (round-3 advisor finding)."""
+    import orbax.checkpoint as ocp
+
+    try:
+        meta = ocp.PyTreeCheckpointer().metadata(os.path.abspath(path))
+        saved = meta.item_metadata["opt_state"]
+        return _leaf_outline(saved) == _leaf_outline(template.opt_state)
+    except Exception:
+        return None
+
+
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     """Restore into the structure of ``template`` (shapes/dtypes preserved).
 
@@ -52,37 +93,36 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     saved on a different mesh layout is therefore safe (and the
     topology-unsafe-restore warning is gone).
 
-    If the stored optimizer state does not match the template's layout
-    (e.g. a checkpoint saved before the optimizer gained ``optax.flatten``,
-    whose Adam moments are one contiguous vector instead of a 44-leaf
-    tree), everything EXCEPT the optimizer state is restored and the
-    template's freshly initialized optimizer state is kept, with a warning
-    — the run resumes with reset Adam moments (exactly the reference's
-    behavior every epoch, main_1v.py:60) rather than failing."""
+    If the STORED optimizer state's layout (checked structurally via orbax
+    metadata, not by catching restore errors) does not match the template's
+    — e.g. a checkpoint saved before the optimizer gained ``optax.flatten``,
+    whose Adam moments are one contiguous vector instead of a 44-leaf tree —
+    everything EXCEPT the optimizer state is restored and the template's
+    freshly initialized optimizer state is kept, with a warning: the run
+    resumes with reset Adam moments (exactly the reference's behavior every
+    epoch, main_1v.py:60) rather than failing. A corrupt or unreadable
+    opt_state whose layout DOES match still fails loudly."""
     import warnings
 
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
     item = template._asdict()
-    restore_args = ocp.checkpoint_utils.construct_restore_args(item)
-    try:
-        restored = ckptr.restore(os.path.abspath(path), item=item,
-                                 restore_args=restore_args)
-    except Exception as full_err:  # opt_state layout mismatch: partial restore
+    if _saved_opt_state_matches(path, template) is False:
         partial = {k: v for k, v in item.items() if k != "opt_state"}
         restore_args = ocp.checkpoint_utils.construct_restore_args(partial)
-        try:
-            restored = ckptr.restore(os.path.abspath(path), item=partial,
-                                     restore_args=restore_args,
-                                     transforms={})
-        except Exception:
-            raise full_err  # not an opt_state mismatch: surface the original
+        restored = ckptr.restore(os.path.abspath(path), item=partial,
+                                 restore_args=restore_args,
+                                 transforms={})
         warnings.warn(
             "checkpoint optimizer state does not match the current "
             "optimizer layout (saved before optax.flatten?); resuming with "
             "freshly initialized optimizer state", stacklevel=2)
         restored["opt_state"] = template.opt_state
+    else:  # matching layout, or metadata unreadable: full restore, loud
+        restore_args = ocp.checkpoint_utils.construct_restore_args(item)
+        restored = ckptr.restore(os.path.abspath(path), item=item,
+                                 restore_args=restore_args)
     return TrainState(**restored)
 
 

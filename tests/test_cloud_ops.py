@@ -210,9 +210,11 @@ class TestSeedWindowNormals:
         pd2, nn, sn = seed_window_normals(pts, seed_idx, cam, k=100, knn=100,
                                           window=64)
         assert pd2.shape == (3, 100) and nn.shape == (3, 100, 3)
-        # the pad region duplicates the last in-window neighbor
-        np.testing.assert_array_equal(np.asarray(pd2[:, 63]),
-                                      np.asarray(pd2[:, 99]))
+        # the pad region carries a far sentinel distance so the sampler's
+        # r-ball filter masks it (round-3 advisor: edge-duplicated pd2 could
+        # weight the farthest real neighbor multiple times in the covariance
+        # frame whenever it fell inside r_ball)
+        assert np.asarray(pd2[:, 64:]).min() >= 1e9 - 1
         # real entries are still sane: seed is its own nearest neighbor and
         # normals are unit
         assert np.asarray(pd2).min(axis=1).max() < 1e-10

@@ -322,6 +322,49 @@ class TestFerrariCanny6DDevice:
         with pytest.raises(ValueError, match="host-qhull"):
             ferrari_canny_l1_device(g6)
 
+    def test_jit_matches_eager(self):
+        """Under jit the lax.cond path must agree with the eager path on
+        both accepted and rejected wrench sets (round-3 verdict: the skip
+        was eager-only)."""
+        from pointnetgpd_tpu.grasping.quality import ferrari_canny_l1_device
+
+        rng = np.random.RandomState(5)
+        jitted = jax.jit(ferrari_canny_l1_device)
+        good = self._wrench_set(rng, extra_contacts=1)
+        bad = (rng.rand(*good.shape) + 1.0).astype(np.float32)  # origin out
+        for g6 in (good, bad):
+            eager = float(ferrari_canny_l1_device(g6))
+            assert abs(float(jitted(g6)) - eager) < 1e-5
+
+    def test_jit_lowering_keeps_the_skip_a_real_branch(self):
+        """The traced path must lower to an HLO conditional (a rejected
+        grasp pays only the min-norm QP), not a select that runs the
+        C(M,6) enumeration unconditionally."""
+        from pointnetgpd_tpu.grasping.quality import ferrari_canny_l1_device
+
+        g6 = self._wrench_set(np.random.RandomState(6))
+        txt = jax.jit(ferrari_canny_l1_device).lower(g6).as_text()
+        assert "cond" in txt or "conditional" in txt
+
+    def test_batch_matches_per_grasp(self):
+        """ferrari_canny_l1_device_batch (lax.map + cond) == the eager
+        per-grasp loop, including the valid mask."""
+        from pointnetgpd_tpu.grasping.quality import (
+            ferrari_canny_l1_device, ferrari_canny_l1_device_batch,
+        )
+
+        rng = np.random.RandomState(7)
+        sets = [self._wrench_set(rng, extra_contacts=1) for _ in range(3)]
+        sets.append((rng.rand(*sets[0].shape) + 1.0).astype(np.float32))
+        g6b = np.stack(sets)
+        valid = np.array([True, True, False, True])
+        out = np.asarray(ferrari_canny_l1_device_batch(g6b, valid))
+        expect = [float(ferrari_canny_l1_device(s)) if v else 0.0
+                  for s, v in zip(sets, valid)]
+        np.testing.assert_allclose(out, expect, atol=1e-5)
+        assert out[0] > 0  # at least the antipodal sets are nonzero
+        assert out[3] == 0.0  # origin-outside set rejected by the guards
+
     def test_non_closure_eager_early_out_skips_enumeration(self, monkeypatch):
         """An eagerly-called non-force-closure wrench set (origin outside
         the hull) must return 0 WITHOUT dispatching the C(M,6) facet
@@ -336,3 +379,50 @@ class TestFerrariCanny6DDevice:
         g6 = (np.random.RandomState(4).rand(24, 6) + 1.0).astype(np.float32)
         assert float(quality.ferrari_canny_l1_device(g6)) == 0.0
         assert not called
+
+
+class TestEvaluate6DLabels:
+    """Batched full 6-D Ferrari-Canny labeling on an analytic sphere —
+    the dataset-generation hot loop with torque rows included
+    (generate-dataset-canny.py:109-133)."""
+
+    def test_sphere_grasps_get_nonzero_6d_labels(self):
+        from pointnetgpd_tpu.geometry.sdf import make_sdf
+        from pointnetgpd_tpu.grasping.evaluation import (
+            evaluate_ferrari_canny, evaluate_ferrari_canny_6d,
+        )
+        from pointnetgpd_tpu.grasping.samplers import antipodal_sample_grasps
+
+        dim, res, r = 40, 0.005, 0.06
+        origin = -res * (dim - 1) / 2 * np.ones(3)
+        ii, jj, kk = np.meshgrid(*(np.arange(dim),) * 3, indexing="ij")
+        pts = origin + res * np.stack([ii, jj, kk], axis=-1)
+        sphere = make_sdf(np.linalg.norm(pts, axis=-1) - r, origin, res)
+
+        out = antipodal_sample_grasps(
+            sphere, jax.random.PRNGKey(0), max_width=0.18, friction_coef=2.0,
+            num_attempts=32, num_samples_loa=48)
+        quals, contacts = evaluate_ferrari_canny_6d(
+            sphere, out.configs, np.zeros(3), 2.0, num_samples=48,
+            torque_scaling=10.0)
+        q = np.asarray(quals)
+        valid = np.asarray(out.valid)
+        found = np.asarray(contacts.found)
+        assert q.shape == (out.configs.shape[0],)
+        assert (q >= 0).all() and np.isfinite(q).all()
+        # sampler-accepted grasps on a sphere are strong closures: most get
+        # a nonzero 6-D epsilon
+        assert q[valid].size >= 3 and (q[valid] > 0).mean() > 0.5
+        # no contacts -> no quality
+        assert (q[~found] == 0).all()
+        # the 6-D epsilon is bounded above by the force-only epsilon on the
+        # same contacts (adding torque rows can only move the hull boundary
+        # toward the origin in the force subspace... not strictly: torque
+        # rows change the geometry entirely — instead just sanity-check the
+        # force-only labels agree on WHICH grasps are nonzero)
+        q3, _ = evaluate_ferrari_canny(sphere, out.configs, np.zeros(3), 2.0,
+                                       num_samples=48)
+        q3 = np.asarray(q3)
+        both = valid & found
+        agree = ((q[both] > 0) == (q3[both] > 0)).mean()
+        assert agree > 0.7

@@ -83,8 +83,9 @@ class TestGraspDetector:
 
     def test_fp16_upload_matches_fp32(self):
         """upload_dtype='float16' (half the relay bytes) must agree with
-        the fp32 upload: quantization is ~0.12 mm at 1 m scale — far below
-        the voxel grid — so candidate yield and frames match closely."""
+        the fp32 upload: quantization is half an fp16 ULP, ~0.25-0.5 mm at
+        coordinates in [0.5, 2) m — below the ~2 mm voxel grid — so
+        candidate yield and frames match closely."""
         from pointnetgpd_tpu.grasping.gripper import Gripper
         from pointnetgpd_tpu.inference.scorer import GraspScorer
         from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
@@ -521,6 +522,66 @@ class TestRosNode:
         assert state["sleeps"] >= 1 and len(det.frames_seen) == 1
         glist = published["/detect_grasps/clustered_grasps"]
         assert len(glist[0].grasps) == 2
+
+
+class TestDetectorPresets:
+    """DetectorConfig.reference_parity() / .production(): parity audits and
+    benchmark reproduction are each ONE switch (round-3 advisor finding —
+    previously three-plus scattered flags)."""
+
+    def test_reference_parity_implies_reference_flow(self):
+        from pointnetgpd_tpu.robot.node import DetectorConfig
+
+        cfg = DetectorConfig.reference_parity()
+        assert cfg.lazy_normals is False          # whole-cloud normals pass
+        assert cfg.upload_dtype == "float32"      # bit-exact upload
+        assert cfg.normal_window == 0             # exact all-pairs KNN
+        assert cfg.adaptive_bucket is False       # raw-count buckets only
+        assert cfg.sampler_exact is True          # exact seed-window top-k
+
+    def test_production_is_the_benchmarked_config(self):
+        from pointnetgpd_tpu.robot.node import DetectorConfig
+
+        cfg = DetectorConfig.production()
+        assert cfg.lazy_normals is True
+        assert cfg.upload_dtype == "float16"
+        assert cfg.normal_window == 2048
+        assert cfg.adaptive_bucket is True
+        assert cfg.sampler_exact is False
+
+    def test_overrides_compose(self):
+        from pointnetgpd_tpu.robot.node import DetectorConfig
+
+        cfg = DetectorConfig.production(num_grasps=8, cloud_pad_to=512)
+        assert cfg.num_grasps == 8 and cfg.cloud_pad_to == 512
+        assert cfg.adaptive_bucket is True
+        par = DetectorConfig.reference_parity(normal_k=10)
+        assert par.normal_k == 10 and par.upload_dtype == "float32"
+
+    def test_parity_preset_runs_a_frame(self):
+        """The parity preset must actually execute end to end (exact
+        whole-cloud normals + exact sampler KNN on a small scene)."""
+        from pointnetgpd_tpu.grasping.gripper import Gripper
+        from pointnetgpd_tpu.inference.scorer import GraspScorer
+        from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+        from pointnetgpd_tpu.robot.node import DetectorConfig, GraspDetector
+
+        rng = np.random.RandomState(2)
+        n = 400
+        top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+        front = rng.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
+        pts = np.concatenate([top, front]).astype(np.float32)
+        pts[:, :2] -= 0.03
+        params, state = init_pointnet_cls(jax.random.PRNGKey(0),
+                                          input_chann=3, k=3)
+        scorer = GraspScorer(params=params, state=state, k=3,
+                             num_points=128, pad_to=16)
+        det = GraspDetector(scorer, Gripper(), DetectorConfig.reference_parity(
+            num_grasps=12, max_num_samples=32, input_points_num=128,
+            minimal_points_send_to_point_net=5, cloud_pad_to=1024))
+        out = det.process_frame(pts, np.array([0.5, 0.5, 1.0], np.float32))
+        assert np.isfinite(out["all_scores"]).all()
+        assert out["all_frames"].shape[1:] == (5, 3)
 
 
 def test_detector_accepts_gpd_scorer():

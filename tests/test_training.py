@@ -268,6 +268,36 @@ def test_checkpoint_restores_across_opt_state_layouts(tmp_path):
             == jax.tree_util.tree_structure(template.opt_state))
 
 
+def test_checkpoint_corrupt_same_layout_fails_loudly(tmp_path):
+    """A damaged checkpoint whose opt_state layout MATCHES the template must
+    raise, not silently reset the Adam moments: the layout-migration
+    fallback is decided structurally from orbax metadata, never from a
+    restore error (round-3 advisor finding)."""
+    import os
+
+    import pytest
+
+    from pointnetgpd_tpu.training.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state, _ = _tiny_state(k=3)
+    save_checkpoint(str(tmp_path), state)
+    path = latest_checkpoint(str(tmp_path))
+    # corrupt the array data (keep the structure metadata readable)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            full = os.path.join(root, f)
+            if os.path.getsize(full) > 4096:
+                with open(full, "r+b") as fh:
+                    fh.truncate(64)
+    template, _ = _tiny_state(k=3)
+    with pytest.raises(Exception):
+        restore_checkpoint(path, template)
+
+
 def test_pre_cropped_train_step():
     """The non-fused step (pre-cropped clouds) also runs and learns."""
     state, tx = _tiny_state(k=3, lr=0.005)
