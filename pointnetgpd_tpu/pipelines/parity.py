@@ -121,16 +121,200 @@ def _sample_cylinder(rng, n, r, h):
     return pts, normals
 
 
+def _capsule_sdf(r, seg):
+    """Capsule: segment of half-length ``seg`` along z, radius ``r``."""
+
+    def fn(p):
+        z = np.clip(p[..., 2], -seg, seg)
+        q = p.copy()
+        q[..., 2] = p[..., 2] - z
+        return np.linalg.norm(q, axis=-1) - r
+
+    return fn
+
+
+def _sample_capsule(rng, n, r, seg):
+    a_side = 2 * np.pi * r * (2 * seg)
+    a_caps = 4 * np.pi * r * r
+    cap = rng.rand(n) < a_caps / (a_side + a_caps)
+    th = rng.uniform(0, 2 * np.pi, n)
+    pts = np.zeros((n, 3))
+    normals = np.zeros((n, 3))
+    side = ~cap
+    pts[side] = np.stack([r * np.cos(th[side]), r * np.sin(th[side]),
+                          rng.uniform(-seg, seg, side.sum())], axis=1)
+    normals[side] = np.stack([np.cos(th[side]), np.sin(th[side]),
+                              np.zeros(side.sum())], axis=1)
+    v = rng.randn(cap.sum(), 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    sgn = np.where(v[:, 2] >= 0, 1.0, -1.0)
+    pts[cap] = r * v + np.stack([np.zeros(cap.sum()), np.zeros(cap.sum()),
+                                 sgn * seg], axis=1)
+    normals[cap] = v
+    return pts, normals
+
+
+# ---------------------------------------------------------------------------
+# Mesh-backed objects: triangle mesh -> ops.mesh_to_sdf voxelizer (the
+# SDFGen-replacement path, read_file_sdf.py:34-41), parametric samplers
+# ---------------------------------------------------------------------------
+
+
+def _uv_sphere(radii, nu=48, nv=24):
+    """Watertight UV sphere scaled to ``radii`` (an ellipsoid mesh)."""
+    rx, ry, rz = radii
+    verts = [(0.0, 0.0, rz)]
+    for i in range(1, nv):
+        th = np.pi * i / nv
+        for j in range(nu):
+            ph = 2 * np.pi * j / nu
+            verts.append((rx * np.sin(th) * np.cos(ph),
+                          ry * np.sin(th) * np.sin(ph), rz * np.cos(th)))
+    verts.append((0.0, 0.0, -rz))
+    south = len(verts) - 1
+    row = lambda i, j: 1 + (i - 1) * nu + (j % nu)
+    tris = []
+    for j in range(nu):  # north fan (outward CCW seen from outside)
+        tris.append((0, row(1, j), row(1, j + 1)))
+    for i in range(1, nv - 1):
+        for j in range(nu):
+            a, b = row(i, j), row(i, j + 1)
+            c, d = row(i + 1, j), row(i + 1, j + 1)
+            tris.append((a, c, b))
+            tris.append((b, c, d))
+    for j in range(nu):  # south fan
+        tris.append((south, row(nv - 1, j + 1), row(nv - 1, j)))
+    return np.asarray(verts, np.float32), np.asarray(tris, np.int32)
+
+
+def _cone_mesh(r, h, nu=64):
+    """Watertight cone: apex at +h/2, circular base at -h/2."""
+    verts = [(0.0, 0.0, h / 2), (0.0, 0.0, -h / 2)]
+    for j in range(nu):
+        ph = 2 * np.pi * j / nu
+        verts.append((r * np.cos(ph), r * np.sin(ph), -h / 2))
+    ring = lambda j: 2 + (j % nu)
+    tris = []
+    for j in range(nu):
+        tris.append((0, ring(j), ring(j + 1)))      # lateral
+        tris.append((1, ring(j + 1), ring(j)))      # base
+    return np.asarray(verts, np.float32), np.asarray(tris, np.int32)
+
+
+def _torus_mesh(big_r, small_r, nu=48, nv=24):
+    verts, tris = [], []
+    for i in range(nu):
+        u = 2 * np.pi * i / nu
+        for j in range(nv):
+            v = 2 * np.pi * j / nv
+            w = big_r + small_r * np.cos(v)
+            verts.append((w * np.cos(u), w * np.sin(u),
+                          small_r * np.sin(v)))
+    at = lambda i, j: (i % nu) * nv + (j % nv)
+    for i in range(nu):
+        for j in range(nv):
+            a, b = at(i, j), at(i + 1, j)
+            c, d = at(i, j + 1), at(i + 1, j + 1)
+            tris.append((a, b, c))
+            tris.append((b, d, c))
+    return np.asarray(verts, np.float32), np.asarray(tris, np.int32)
+
+
+def _sample_ellipsoid(rng, n, radii):
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = v * np.asarray(radii)
+    normals = v / np.asarray(radii)  # grad of implicit surface
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    return pts, normals
+
+
+def _sample_cone(rng, n, r, h):
+    slant = np.sqrt(r * r + h * h)
+    a_side = np.pi * r * slant
+    a_base = np.pi * r * r
+    base = rng.rand(n) < a_base / (a_side + a_base)
+    th = rng.uniform(0, 2 * np.pi, n)
+    pts = np.zeros((n, 3))
+    normals = np.zeros((n, 3))
+    side = ~base
+    # uniform over the lateral surface: radius fraction ~ sqrt(u)
+    f = np.sqrt(rng.uniform(0, 1, side.sum()))
+    pts[side] = np.stack([f * r * np.cos(th[side]), f * r * np.sin(th[side]),
+                          h / 2 - f * h], axis=1)
+    nz = r / slant
+    nr = h / slant
+    normals[side] = np.stack([nr * np.cos(th[side]), nr * np.sin(th[side]),
+                              np.full(side.sum(), nz)], axis=1)
+    rr = r * np.sqrt(rng.uniform(0, 1, base.sum()))
+    pts[base] = np.stack([rr * np.cos(th[base]), rr * np.sin(th[base]),
+                          np.full(base.sum(), -h / 2)], axis=1)
+    normals[base, 2] = -1.0
+    return pts, normals
+
+
+def _sample_torus(rng, n, big_r, small_r):
+    u = rng.uniform(0, 2 * np.pi, n)
+    v = rng.uniform(0, 2 * np.pi, n)
+    w = big_r + small_r * np.cos(v)
+    pts = np.stack([w * np.cos(u), w * np.sin(u), small_r * np.sin(v)],
+                   axis=1)
+    normals = np.stack([np.cos(v) * np.cos(u), np.cos(v) * np.sin(u),
+                        np.sin(v)], axis=1)
+    return pts, normals
+
+
+def _analytic_entry(fn, sampler):
+    """(sdf_builder(dim, res) -> SdfGrid, sampler) for an analytic SDF."""
+    return (lambda dim, res: _sdf_grid_from_fn(fn, 0.06, dim, res), sampler)
+
+
+def _mesh_entry(mesh_builder, sampler):
+    """Mesh-backed object: voxelized through ops.mesh_to_sdf (the SDFGen
+    replacement, read_file_sdf.py:34-41) — exercises the mesh pipeline in
+    the parity experiment rather than analytic grids only."""
+
+    def build(dim, res):
+        from ..geometry.mesh import Mesh3D
+        from ..ops.mesh_to_sdf import mesh_to_sdf
+
+        verts, tris = mesh_builder()
+        return mesh_to_sdf(Mesh3D(verts, tris), dim=dim, padding=5)
+
+    return (build, sampler)
+
+
 PARITY_OBJECTS = {
-    # name -> (sdf_fn, surface_sampler(rng, n) -> (pts, normals))
-    "parity_sphere": (
+    # name -> (sdf_builder(dim, res) -> SdfGrid,
+    #          surface_sampler(rng, n) -> (pts, normals))
+    "parity_sphere": _analytic_entry(
         _sphere_sdf(0.032), lambda rng, n: _sample_sphere(rng, n, 0.032)),
-    "parity_box": (
+    "parity_box": _analytic_entry(
         _box_sdf((0.024, 0.036, 0.020)),
         lambda rng, n: _sample_box(rng, n, (0.024, 0.036, 0.020))),
-    "parity_cylinder": (
+    "parity_cylinder": _analytic_entry(
         _cylinder_sdf(0.027, 0.09),
         lambda rng, n: _sample_cylinder(rng, n, 0.027, 0.09)),
+    "parity_sphere_small": _analytic_entry(
+        _sphere_sdf(0.024), lambda rng, n: _sample_sphere(rng, n, 0.024)),
+    "parity_box_flat": _analytic_entry(
+        _box_sdf((0.034, 0.025, 0.012)),
+        lambda rng, n: _sample_box(rng, n, (0.034, 0.025, 0.012))),
+    "parity_cylinder_thin": _analytic_entry(
+        _cylinder_sdf(0.018, 0.075),
+        lambda rng, n: _sample_cylinder(rng, n, 0.018, 0.075)),
+    "parity_capsule": _analytic_entry(
+        _capsule_sdf(0.020, 0.025),
+        lambda rng, n: _sample_capsule(rng, n, 0.020, 0.025)),
+    "parity_ellipsoid_mesh": _mesh_entry(
+        lambda: _uv_sphere((0.036, 0.027, 0.021)),
+        lambda rng, n: _sample_ellipsoid(rng, n, (0.036, 0.027, 0.021))),
+    "parity_cone_mesh": _mesh_entry(
+        lambda: _cone_mesh(0.032, 0.080),
+        lambda rng, n: _sample_cone(rng, n, 0.032, 0.080)),
+    "parity_torus_mesh": _mesh_entry(
+        lambda: _torus_mesh(0.026, 0.012),
+        lambda rng, n: _sample_torus(rng, n, 0.026, 0.012)),
 }
 
 # oblique viewpoints (a straight-overhead camera sees almost no side
@@ -176,8 +360,8 @@ def build_parity_dataset(root: str, *, grasps_per_class: int = 12,
 
     rows_by_obj = {}
     for i, name in enumerate(objects):
-        sdf_fn, _ = PARITY_OBJECTS[name]
-        sdf = _sdf_grid_from_fn(sdf_fn, 0.06, sdf_dim, sdf_res)
+        build_sdf, _ = PARITY_OBJECTS[name]
+        sdf = build_sdf(sdf_dim, sdf_res)
         rows, counts = label_grasps_for_object(
             sdf, np.zeros(3, np.float32), gripper,
             jax.random.PRNGKey(seed + 17 * i), fc_list=FC_LIST_FULL,

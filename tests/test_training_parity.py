@@ -79,6 +79,39 @@ class TestParityDatasetLayout:
         assert got >= len(ds) // 2  # most crops must survive
 
 
+class TestParityObjectRegistry:
+    """The v2 10-object registry (7 analytic + 3 mesh-voxelized through
+    ops/mesh_to_sdf): every sampler's surface points must sit on the SDF
+    zero level with gradient-aligned normals — the contract both the grasp
+    labeler (close_fingers steps the SDF) and the view generator
+    (camera-visibility filter uses the normals) rely on."""
+
+    def test_registry_has_ten_objects_incl_meshes(self):
+        assert len(parity.PARITY_OBJECTS) >= 10
+        assert sum(1 for n in parity.PARITY_OBJECTS if n.endswith("_mesh")) >= 3
+
+    @pytest.mark.parametrize("name", ["parity_capsule", "parity_box_flat",
+                                      "parity_torus_mesh",
+                                      "parity_cone_mesh"])
+    def test_sampler_matches_sdf(self, name):
+        import jax.numpy as jnp
+
+        from pointnetgpd_tpu.geometry import sdf as sdf_lib
+
+        build, sampler = parity.PARITY_OBJECTS[name]
+        sdf = build(40, 0.0032)
+        rng = np.random.RandomState(0)
+        pts, nrm = sampler(rng, 150)
+        coords = sdf_lib.world_to_grid(sdf, jnp.asarray(pts, jnp.float32))
+        sd = np.abs(np.asarray(sdf_lib.signed_distance(sdf, coords)))
+        assert sd.max() < 2e-3, f"{name}: surface points off the SDF zero"
+        g = np.asarray(sdf_lib.gradient(sdf, coords))
+        g = g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-9)
+        dots = np.sum(g * nrm, axis=1)
+        assert (dots > 0).mean() > 0.97, f"{name}: normals misoriented"
+        assert dots.mean() > 0.9, f"{name}: normals noisy vs gradient"
+
+
 @pytest.mark.slow
 class TestParityTrainers:
     def test_ours_runs_and_learns(self, mini_dataset):
