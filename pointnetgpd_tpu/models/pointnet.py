@@ -28,6 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .fused_maxpool import linear_bn_max
 from .layers import batchnorm, init_batchnorm, init_linear, linear, linear_bn_relu
 
 # ---------------------------------------------------------------------------
@@ -59,13 +60,19 @@ def init_stn(key, input_chann: int = 3, kind: str = "stn3d", dtype=jnp.float32):
     return p, s
 
 
-def apply_stn(p, s, x, *, train: bool):
-    """x: (B, N, C) -> (B, 3, 3) transform = fc(x) + I. (ref: pointnet.py:27-45)"""
+def apply_stn(p, s, x, *, train: bool, fused_maxpool: bool = False):
+    """x: (B, N, C) -> (B, 3, 3) transform = fc(x) + I. (ref: pointnet.py:27-45)
+
+    ``fused_maxpool`` (train only): conv3 -> bn3 -> relu -> max runs as the
+    streamed no-(B,N,C) op (models/fused_maxpool.py). relu and max commute
+    (both monotone), so relu applies to the pooled (B, C) instead."""
     ns = {}
     h = x
-    for i in (1, 2, 3):
+    for i in (1, 2):
         h = linear_bn_relu(p, s, f"conv{i}", f"bn{i}", h, train=train, new_state=ns)
-    h = jnp.max(h, axis=1)  # symmetric aggregation == MaxPool1d(N)
+    h = jax.nn.relu(linear_bn_max(p, s, "conv3", "bn3", h, train=train,
+                                  new_state=ns, fused=fused_maxpool))
+    # symmetric aggregation == MaxPool1d(N), fused into the line above
     h = linear_bn_relu(p, s, "fc1", "bn4", h, train=train, new_state=ns)
     h = linear_bn_relu(p, s, "fc2", "bn5", h, train=train, new_state=ns)
     h = linear(p["fc3"], h)
@@ -89,19 +96,25 @@ def init_pointnet_feat(key, input_chann: int = 3, dtype=jnp.float32):
     return p, s
 
 
-def apply_pointnet_feat(p, s, x, *, train: bool, global_feat: bool = True):
+def apply_pointnet_feat(p, s, x, *, train: bool, global_feat: bool = True,
+                        fused_maxpool: bool = False):
     """(ref: pointnet.py:137-154). x: (B, N, C) -> (global_1024[, pointfeat]), trans."""
     ns = {}
-    trans, ns["stn"] = apply_stn(p["stn"], s["stn"], x, train=train)
+    trans, ns["stn"] = apply_stn(p["stn"], s["stn"], x, train=train,
+                                 fused_maxpool=fused_maxpool and global_feat)
     x = jnp.matmul(x, trans, preferred_element_type=x.dtype)  # == bmm(x, trans)
     x = linear_bn_relu(p, s, "conv1", "bn1", x, train=train, new_state=ns)
     pointfeat = x
     x = linear_bn_relu(p, s, "conv2", "bn2", x, train=train, new_state=ns)
+    if global_feat:
+        # conv3 -> bn3 -> max (NO relu, ref :147) as one streamed op when
+        # fused_maxpool (models/fused_maxpool.py); unfused otherwise
+        x = linear_bn_max(p, s, "conv3", "bn3", x, train=train,
+                          new_state=ns, fused=fused_maxpool)
+        return (x, trans), ns
     x = linear(p["conv3"], x)
     x, ns["bn3"] = batchnorm(p["bn3"], s["bn3"], x, train=train)  # NOTE: no relu (ref :147)
     x = jnp.max(x, axis=1)  # (B, 1024)
-    if global_feat:
-        return (x, trans), ns
     g = jnp.broadcast_to(x[:, None, :], (x.shape[0], pointfeat.shape[1], x.shape[1]))
     return (jnp.concatenate([g, pointfeat], axis=-1), trans), ns
 
@@ -119,11 +132,14 @@ def init_dual_pointnet_feat(key, input_chann: int = 6, dtype=jnp.float32):
     return p, s
 
 
-def apply_dual_pointnet_feat(p, s, x, *, train: bool):
+def apply_dual_pointnet_feat(p, s, x, *, train: bool,
+                             fused_maxpool: bool = False):
     """(ref: pointnet.py:103-120). x: (B, N, 6); STNs act on xyz halves separately."""
     ns = {}
-    trans1, ns["stn1"] = apply_stn(p["stn1"], s["stn1"], x[..., 0:3], train=train)
-    trans2, ns["stn2"] = apply_stn(p["stn2"], s["stn2"], x[..., 3:6], train=train)
+    trans1, ns["stn1"] = apply_stn(p["stn1"], s["stn1"], x[..., 0:3],
+                                   train=train, fused_maxpool=fused_maxpool)
+    trans2, ns["stn2"] = apply_stn(p["stn2"], s["stn2"], x[..., 3:6],
+                                   train=train, fused_maxpool=fused_maxpool)
     x = jnp.concatenate(
         [
             jnp.matmul(x[..., 0:3], trans1, preferred_element_type=x.dtype),
@@ -133,9 +149,8 @@ def apply_dual_pointnet_feat(p, s, x, *, train: bool):
     )
     x = linear_bn_relu(p, s, "conv1", "bn1", x, train=train, new_state=ns)
     x = linear_bn_relu(p, s, "conv2", "bn2", x, train=train, new_state=ns)
-    x = linear(p["conv3"], x)
-    x, ns["bn3"] = batchnorm(p["bn3"], s["bn3"], x, train=train)
-    x = jnp.max(x, axis=1)
+    x = linear_bn_max(p, s, "conv3", "bn3", x, train=train, new_state=ns,
+                      fused=fused_maxpool)
     return (x, trans1 + trans2), ns
 
 
@@ -159,13 +174,20 @@ def init_pointnet_cls(key, input_chann: int = 3, k: int = 2, *, dual: bool = Fal
     return p, s
 
 
-def apply_pointnet_cls(p, s, x, *, train: bool = False, dual: bool = False):
-    """(ref: pointnet.py:189-194 / 169-174). Returns ((log_probs, trans), new_state)."""
+def apply_pointnet_cls(p, s, x, *, train: bool = False, dual: bool = False,
+                       fused_maxpool: bool = False):
+    """(ref: pointnet.py:189-194 / 169-174). Returns ((log_probs, trans), new_state).
+
+    ``fused_maxpool``: run the train-mode conv3->BN->max stages through the
+    streamed custom-VJP op (models/fused_maxpool.py) — no (B, N, 1024)
+    activation in forward OR backward. Inference (train=False) ignores it."""
     ns = {}
     if dual:
-        (feat, trans), ns["feat"] = apply_dual_pointnet_feat(p["feat"], s["feat"], x, train=train)
+        (feat, trans), ns["feat"] = apply_dual_pointnet_feat(
+            p["feat"], s["feat"], x, train=train, fused_maxpool=fused_maxpool)
     else:
-        (feat, trans), ns["feat"] = apply_pointnet_feat(p["feat"], s["feat"], x, train=train)
+        (feat, trans), ns["feat"] = apply_pointnet_feat(
+            p["feat"], s["feat"], x, train=train, fused_maxpool=fused_maxpool)
     h = linear_bn_relu(p, s, "fc1", "bn1", feat, train=train, new_state=ns)
     h = linear_bn_relu(p, s, "fc2", "bn2", h, train=train, new_state=ns)
     h = linear(p["fc3"], h)

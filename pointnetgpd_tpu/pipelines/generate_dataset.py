@@ -73,7 +73,19 @@ def label_grasps_for_object(
 
         configs = dedupe_grasps(configs, min_dist=0.0025)
 
-        configs_dev = jnp.asarray(configs)
+        # bucket-pad to a multiple of 64 (repeating the first row) so the
+        # jitted labeling programs compile once per BUCKET, not once per
+        # round: the post-dedupe count differs every round, and each fresh
+        # count otherwise recompiles friction_boundary_labels +
+        # evaluate_ferrari_canny (~10-40 s each on a cold chip)
+        n_real = len(configs)
+        bucket = -(-n_real // 64) * 64
+        if bucket > n_real:
+            configs_padded = np.concatenate(
+                [configs, np.repeat(configs[:1], bucket - n_real, axis=0)])
+        else:
+            configs_padded = configs
+        configs_dev = jnp.asarray(configs_padded)
         label_fc, label_idx, valid = friction_boundary_labels(
             sdf, configs_dev, fc_dev, num_samples=num_samples_loa,
             n_fc=n_fc)
@@ -81,10 +93,10 @@ def label_grasps_for_object(
             sdf, configs_dev, jnp.asarray(center_of_mass), label_fc,
             num_samples=num_samples_loa)
 
-        label_fc = np.asarray(label_fc)
-        label_idx = np.asarray(label_idx)
-        valid = np.asarray(valid)
-        canny = np.asarray(canny)
+        label_fc = np.asarray(label_fc)[:n_real]
+        label_idx = np.asarray(label_idx)[:n_real]
+        valid = np.asarray(valid)[:n_real]
+        canny = np.asarray(canny)[:n_real]
 
         for cfg, fc, idx, ok, cq in zip(configs, label_fc, label_idx, valid,
                                         canny):

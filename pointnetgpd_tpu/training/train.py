@@ -126,7 +126,7 @@ def make_eval_step(*, dual: bool = False):
 
 def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
                           dual: bool = False, compute_dtype=None,
-                          remat: bool = False):
+                          remat: bool = False, fused_maxpool: bool = False):
     """Train step with the closing-region crop fused INTO the device program.
 
     Input is the raw per-sample data (grasp rows, per-sample view clouds,
@@ -151,6 +151,13 @@ def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
     trades ~1 extra forward of (cheap) FLOPs for HBM traffic on the
     bandwidth-bound stages. Gradients are bit-identical (tested); whether
     it is a speed win is measured in docs/SCALING.md.
+
+    ``fused_maxpool``: route the two conv3->BN->max stages through the
+    streamed custom-VJP op (models/fused_maxpool.py) — the (B, N, 1024)
+    activation exists in neither the forward nor the backward; the BN
+    coupling collapses to (F, F) quadratic forms. Gradients match the
+    unfused path to fp32 tolerance (tests/test_fused_maxpool.py); the
+    measured step time lives in docs/SCALING.md.
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -162,8 +169,8 @@ def make_fused_train_step(tx, *, num_points: int, min_point_limit: int = 50,
         )
         weights = label_weights * crop_valid.astype(label_weights.dtype)
 
-        fwd = lambda p, s, x: apply_pointnet_cls(p, s, x, train=True,
-                                                 dual=dual)
+        fwd = lambda p, s, x: apply_pointnet_cls(
+            p, s, x, train=True, dual=dual, fused_maxpool=fused_maxpool)
         if remat:
             fwd = jax.checkpoint(fwd)
 
