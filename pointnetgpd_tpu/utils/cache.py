@@ -56,3 +56,22 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without the knobs: skip silently
+
+
+def disable_compilation_cache() -> None:
+    """Turn the persistent cache OFF for this process.
+
+    Used by the CPU multichip dryrun: XLA:CPU AOT artifacts embed compiler-
+    chosen pseudo-features (+prefer-no-gather/scatter) that the loader's
+    LLVM host detection never reports, so EVERY reload — even on the machine
+    that compiled them — logs a "could lead to SIGILL" error wall (verified:
+    the machine-keyed partition above still warns on same-host reload). The
+    dryrun's tiny-shape compiles are cheap; a silent cold compile beats a
+    warm start buried in spurious loader errors.
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+    except Exception:
+        pass
