@@ -96,12 +96,20 @@ def main(argv=None):
         json.dump(meta, open(meta_path, "w"))
     print("dataset:", meta, flush=True)
 
-    # resume support: merge into an existing curves file
+    # resume support: merge into an existing curves file — but only one in
+    # the v2 multi-seed format (seed-tagged LISTS) for the SAME dataset;
+    # v1 files (single-run dicts) and runs against a different object set
+    # must not leak their seeds into this one
     curves = {}
     if os.path.exists(args.out_json):
         try:
             curves = json.load(open(args.out_json))
         except Exception:
+            curves = {}
+        same_data = curves.get("meta", {}).get("objects") == meta["objects"]
+        if not (same_data
+                and isinstance(curves.get("ours", []), list)
+                and isinstance(curves.get("reference", []), list)):
             curves = {}
     curves.update({"meta": meta, "epochs": args.epochs,
                    "batch_size": args.batch_size, "lr": args.lr,
