@@ -40,10 +40,13 @@ def _run_reference_seed(payload):
     from pointnetgpd_tpu.pipelines import parity
 
     t0 = time.time()
+    # num_workers=0: this already runs inside a daemonic Pool worker, which
+    # cannot spawn DataLoader children; the rows are tiny and torch_threads
+    # partitions the CPUs across the parallel seeds instead
     hist = parity.train_reference(
         root, epochs=epochs, batch_size=batch_size, lr=lr,
         num_points=num_points, grasp_amount_train=n_train,
-        grasp_amount_test=n_test, seed=seed, num_workers=2)
+        grasp_amount_test=n_test, seed=seed, num_workers=0)
     hist["seconds"] = round(time.time() - t0, 1)
     hist["seed"] = seed
     return hist
