@@ -261,6 +261,9 @@ def main(argv=None):
     p.add_argument("--out-md", default="docs/WORKFLOW_20OBJ.md")
     p.add_argument("--fresh", action="store_true",
                    help="wipe --root before running")
+    p.add_argument("--resume", action="store_true",
+                   help="skip stages already recorded in stage_times.json"
+                   " (their outputs are reused; recorded times kept)")
     args = p.parse_args(argv)
 
     root = os.path.abspath(args.root)
@@ -268,48 +271,72 @@ def main(argv=None):
         shutil.rmtree(root)
     os.makedirs(root, exist_ok=True)
     log = os.path.join(root, "workflow.log")
+    times_path = os.path.join(root, "stage_times.json")
     times = {}
-    t0 = time.time()
-    names = synth_meshes(root, args.objects, seed=args.seed)
-    times["0_synth_meshes"] = time.time() - t0
+    if args.resume and os.path.exists(times_path):
+        times = json.load(open(times_path))
 
-    times["1_prepare_objects_sdf"] = run_cli(
+    def stage(key, fn):
+        """Run one stage (unless resumed) and persist its wall time, so an
+        interrupted run — e.g. one killed for host contention — restarts
+        from the first incomplete stage instead of relabeling everything."""
+        if key not in times:
+            t0 = time.time()
+            out = fn()
+            times[key] = (out if isinstance(out, float)
+                          else time.time() - t0)
+            json.dump(times, open(times_path, "w"))
+        return times[key]
+
+    t0 = time.time()
+    if "0_synth_meshes" not in times:
+        names = synth_meshes(root, args.objects, seed=args.seed)
+        times["0_synth_meshes"] = time.time() - t0
+        json.dump(times, open(times_path, "w"))
+    else:  # resumed: recover the object names from the mesh tree
+        base = os.path.join(root, "PointNetGPD/data/ycb-tools/models/ycb")
+        names = sorted(os.listdir(base))
+
+    stage("1_prepare_objects_sdf", lambda: run_cli(
         ["pointnetgpd_tpu.pipelines.prepare_objects", "--data-root", root],
-        root, log)
+        root, log))
     out_dir = os.path.join(root, "generated_grasps")
-    times["2_generate_dataset"] = run_cli(
+    stage("2_generate_dataset", lambda: run_cli(
         ["pointnetgpd_tpu.pipelines.generate_dataset", "r4", "--data-root",
          root, "--out-dir", out_dir, "--grasps-per-class",
-         str(args.grasps_per_class), "--seed", str(args.seed)], root, log)
+         str(args.grasps_per_class), "--seed", str(args.seed)], root, log))
+    # the split is cheap and idempotent (same seed -> same split): always
+    # re-run it so n_rows is available on resume
     t0 = time.time()
     n_rows = split_labels(root, out_dir, seed=args.seed)
-    times["3_split_labels"] = time.time() - t0
-    times["4_render_clouds"] = run_cli(
+    times.setdefault("3_split_labels", time.time() - t0)
+    stage("4_render_clouds", lambda: run_cli(
         ["pointnetgpd_tpu.pipelines.render_clouds", "--data-root", root],
-        root, log)
+        root, log))
     model_path = os.path.join(root, "learned_models")
-    times["5_train_1v_mc"] = run_cli(
+    stage("5_train_1v_mc", lambda: run_cli(
         ["pointnetgpd_tpu.cli.train", "--variant", "1v_mc", "--mode",
          "train", "--tag", "wf20", "--epoch", str(args.epochs),
          "--batch-size", str(args.batch_size), "--steps-per-epoch",
          str(args.steps_per_epoch), "--data-root", root, "--model-path",
-         model_path, "--log-dir", os.path.join(root, "log")], root, log)
-    times["6_eval_1v_mc"] = run_cli(
+         model_path, "--log-dir", os.path.join(root, "log")], root, log))
+    stage("6_eval_1v_mc", lambda: run_cli(
         ["pointnetgpd_tpu.cli.train", "--variant", "1v_mc", "--mode",
          "test", "--tag", "wf20", "--load-epoch", str(args.epochs - 1),
          "--batch-size", str(args.batch_size), "--data-root", root,
          "--model-path", model_path,
-         "--log-dir", os.path.join(root, "log")], root, log)
+         "--log-dir", os.path.join(root, "log")], root, log))
     # standalone inference CLI on one generated view crop
     ckpt_dir = os.path.join(model_path, "wf20")
     any_cloud = sorted(glob.glob(os.path.join(
         root, "data/ycb-tools/models/ycb/*/rgbd/clouds/*.npy")))[0]
-    times["7_infer_cli"] = run_cli(
+    stage("7_infer_cli", lambda: run_cli(
         ["pointnetgpd_tpu.cli.infer", "--load-model", ckpt_dir, "--input",
-         any_cloud, "--repeat", "3"], root, log)
+         any_cloud, "--repeat", "3"], root, log))
     t0 = time.time()
     det = detect_stage(root, ckpt_dir, names, seed=args.seed)
     times["8_detect_frame"] = time.time() - t0
+    json.dump(times, open(times_path, "w"))
 
     total_rows = sum(a + b for a, b in n_rows.values())
     report(args, names, n_rows, total_rows, times, det, log)
