@@ -111,6 +111,18 @@ class OneViewBatcher:
         self.views_per_sample = views_per_sample
         self.rng = np.random.RandomState(seed)
         self._grasp_cache: dict[str, np.ndarray] = {}
+        # objects with ZERO grasp rows contribute no samples — the same
+        # semantics as the reference's unravel_index over per-file row
+        # counts (dataset.py:245), where an empty file gets no index slots.
+        # (A tiny object can legitimately land 0 rows in one split of a
+        # small run.) Sampling from one would crash the producer thread.
+        self._objects = [o for o in index.objects
+                         if len(self._load_grasps(o)) > 0]
+        if not self._objects:
+            raise ValueError(
+                f"no grasp rows in any object under {index.root!r} "
+                f"(tag={index.tag!r})")
+        self._error: BaseException | None = None
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -137,7 +149,7 @@ class OneViewBatcher:
         levels = np.zeros((b,), np.float32)
         refines = np.zeros((b,), np.float32)
         for i in range(b):
-            obj = self.index.objects[self.rng.randint(len(self.index.objects))]
+            obj = self._objects[self.rng.randint(len(self._objects))]
             rows = self._load_grasps(obj)
             row = rows[self.rng.randint(len(rows))]
             grasps[i, : row.shape[0]] = row
@@ -163,15 +175,27 @@ class OneViewBatcher:
     def _producer(self):
         while not self._stop.is_set():
             try:
-                self._queue.put(self._make_batch(), timeout=0.5)
-            except queue.Full:
-                continue
+                batch = self._make_batch()
+            except BaseException as e:  # surface it — a silently dead
+                self._error = e         # producer would hang the consumer
+                self._queue.put(None)
+                return
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        return self._queue.get()
+        out = self._queue.get()
+        if out is None and self._error is not None:
+            raise RuntimeError(
+                "OneViewBatcher producer thread failed") from self._error
+        return out
 
     def close(self):
         self._stop.set()

@@ -351,6 +351,78 @@ class TestMultiViewBatcher:
             assert len(distinct) >= 2
 
 
+class TestBatcherEmptyObjects:
+    """Regression: an object whose split got ZERO grasp rows (a 1-row object
+    after an 80/20 split) crashed the producer thread with rng.randint(0),
+    silently hanging every consumer in queue.get() — observed as the
+    20-object workflow's eval freezing at the first epoch boundary."""
+
+    def _layout(self, tmp_path, row_counts):
+        import pickle
+
+        rng = np.random.RandomState(0)
+        (tmp_path / "PointNetGPD/data/ycb_grasp/train").mkdir(parents=True)
+        transform = {}
+        for name, n in row_counts.items():
+            np.save(tmp_path / f"PointNetGPD/data/ycb_grasp/train/{name}.npy",
+                    rng.rand(n, 12).astype(np.float32))
+            cdir = tmp_path / f"data/ycb-tools/models/ycb/{name}/rgbd/clouds"
+            cdir.mkdir(parents=True)
+            np.save(cdir / "pc_0.npy", rng.rand(300, 3).astype(np.float32))
+            transform[name] = (name, np.eye(4))
+        with open(tmp_path / "PointNetGPD/data/google2cloud.pkl", "wb") as f:
+            pickle.dump(transform, f)
+
+    def test_zero_row_object_is_skipped(self, tmp_path):
+        from pointnetgpd_tpu.training.data import GraspDataIndex, OneViewBatcher
+
+        self._layout(tmp_path, {"objA": 5, "objB": 0})
+        index = GraspDataIndex(str(tmp_path), tag="train", one_view=False)
+        assert "objB" in index.objects  # the file exists; the batcher skips it
+        b = OneViewBatcher(index, batch_size=8, cloud_points=256, seed=0)
+        grasps, *_ = next(b)
+        b.close()
+        assert grasps.shape == (8, 12)
+        assert np.isfinite(grasps).all()
+
+    def test_all_empty_raises_loudly(self, tmp_path):
+        from pointnetgpd_tpu.training.data import GraspDataIndex, OneViewBatcher
+
+        self._layout(tmp_path, {"objA": 0})
+        index = GraspDataIndex(str(tmp_path), tag="train", one_view=False)
+        with pytest.raises(ValueError, match="no grasp rows"):
+            OneViewBatcher(index, batch_size=4, cloud_points=256, seed=0)
+
+    def test_producer_error_surfaces_not_hangs(self, tmp_path):
+        import queue as queue_mod
+        import threading
+
+        from pointnetgpd_tpu.training.data import GraspDataIndex, OneViewBatcher
+
+        self._layout(tmp_path, {"objA": 5})
+        index = GraspDataIndex(str(tmp_path), tag="train", one_view=False)
+        b = OneViewBatcher(index, batch_size=4, cloud_points=256, seed=0)
+        b.close()
+        b._thread.join(timeout=10)  # let any in-flight put() finish first
+        # drain whatever the real producer enqueued, then restart the
+        # producer with a batch fn that fails: the failure must surface in
+        # __next__ instead of hanging the consumer (the pre-fix behavior)
+        while True:
+            try:
+                b._queue.get_nowait()
+            except queue_mod.Empty:
+                break
+        b._make_batch = lambda: (_ for _ in ()).throw(OSError("disk gone"))
+        b._stop.clear()
+        t = threading.Thread(target=b._producer, daemon=True)
+        t.start()
+        t.join(timeout=10)
+        assert not t.is_alive()
+        with pytest.raises(RuntimeError, match="producer thread failed"):
+            next(b)
+        b.close()
+
+
 class TestDecompositionCoverage:
     def test_random_box_unions_covered(self):
         """Property: for random 2-box unions, the solid's interior points lie
