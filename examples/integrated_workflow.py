@@ -195,7 +195,15 @@ def split_labels(root: str, out_dir: str, train_frac: float = 0.8,
 def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0):
     """Online path on the TRAINED model: compose a 3-object tabletop scene
     from the workflow's meshes via the native renderer, then run the
-    GraspDetector production preset on it (kinect2grasp.py end-to-end)."""
+    GraspDetector production preset on it (kinect2grasp.py end-to-end).
+
+    The cloud merges THREE registered low-elevation views, matching the
+    reference's /table_top_points input (a merged multi-kinect cloud —
+    README.md:195 runs 4 registered kinects). A single high-elevation view
+    sees mostly top surfaces, and GPG's downward-approach guard
+    (grasp_sampler.py:1564-1569) needs side-surface seeds: measured on this
+    scene, 1 top-down view -> 1.5k points -> 0 candidates, 3 merged views
+    -> 14k points -> candidates at the documented ~5% funnel pass rate."""
     import jax  # noqa: F401  (forces backend init inside the stage timer)
 
     from pointnetgpd_tpu.cli.infer import load_scorer
@@ -218,9 +226,16 @@ def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0):
         ref_path = ""
 
     scorer = load_scorer(_A)
-    rng = np.random.RandomState(seed)
     base = os.path.join(root, "PointNetGPD/data/ycb-tools/models/ycb")
-    picks = [names[i] for i in rng.choice(len(names), 3, replace=False)]
+    # the 3 LARGEST objects (bbox diagonal): graspable side surface area
+    # drives GPG yield, and the smallest synthetic objects (~3 cm) leave
+    # almost nothing after the table-clearance adjustment
+    diag = []
+    for nm in names:
+        v, _ = read_obj(os.path.join(base, nm, "google_512k",
+                                     "nontextured.obj"))
+        diag.append((float(np.linalg.norm(np.ptp(v, axis=0))), nm))
+    picks = [nm for _, nm in sorted(diag, reverse=True)[:3]]
     meshes = []
     for j, nm in enumerate(picks):
         v, f = read_obj(os.path.join(base, nm, "google_512k",
@@ -231,19 +246,29 @@ def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0):
         t[:2, 3] = [(-0.16, 0.14, 0.0)[j], (-0.05, -0.12, 0.16)[j]]
         t[2, 3] = lift  # rest ON the table plane z=0
         meshes.append(SceneObject(m, t))
-    cam_c = np.array([0.7, 0.7, 0.8])
-    t_wc = look_at_pose(cam_c, target=[0, 0, 0.05], up=[0, 0, 1.0])
     cam = VirtualCamera(DEFAULT_INTR)
-    depth = cam.images(meshes[0].mesh, [(t_wc, cam_c)],
-                       RenderMode.DEPTH, scene_objects=meshes[1:])[0]
-    pts = backproject_depth(depth, DEFAULT_INTR.k, t_wc)
-    pts = pts[pts[:, 2] > 0.004]  # table segmentation (z=0 plane)
+    views = [np.array([0.45, 0.12, 0.28]), np.array([-0.12, -0.45, 0.28]),
+             np.array([-0.3, 0.35, 0.3])]
+    clouds = []
+    for cam_c in views:
+        t_wc = look_at_pose(cam_c, target=[0, 0, 0.03], up=[0, 0, 1.0])
+        depth = cam.images(meshes[0].mesh, [(t_wc, cam_c)],
+                           RenderMode.DEPTH, scene_objects=meshes[1:])[0]
+        view_pts = backproject_depth(depth, DEFAULT_INTR.k, t_wc)
+        # table segmentation (z=0 plane; the reference RANSAC-fits it)
+        clouds.append(view_pts[view_pts[:, 2] > 0.004])
+    pts = np.concatenate(clouds)
+    # normals orient toward a virtual viewpoint above the scene centroid
+    # (the merged cloud has no single camera; outward == away from table)
+    cam_pos = np.array([0.0, 0.0, 0.6], np.float32)
     det = GraspDetector(scorer, config=DetectorConfig.production(
-        cloud_pad_to=8192))
-    out = det.process_frame(pts.astype(np.float32),
-                            cam_c.astype(np.float32), seed=seed)
+        cloud_pad_to=8192, max_num_samples=300))
+    out = det.process_frame(pts.astype(np.float32), cam_pos, seed=seed)
+    pred = np.asarray(out["pred"])
     return {"scene_points": int(len(pts)),
             "candidates": int(len(out["all_frames"])),
+            "pred_hist": np.bincount(pred, minlength=3).tolist()
+            if len(pred) else [0, 0, 0],
             "good_grasps": int(len(out["grasps"])),
             "top_score": float(out["scores"][0]) if len(out["scores"])
             else None}
@@ -301,10 +326,15 @@ def main(argv=None):
         ["pointnetgpd_tpu.pipelines.prepare_objects", "--data-root", root],
         root, log))
     out_dir = os.path.join(root, "generated_grasps")
+    # --ladder full: the reference's less_class ladder ({2.0, 1.6, 0.6})
+    # can never produce a row in the 1v_mc "good" band (score <= 0.5), so
+    # 3-class training on it degenerates to majority-class — a cross-stage
+    # threshold/ladder pairing bug this rehearsal caught (docs/QUIRKS.md)
     stage("2_generate_dataset", lambda: run_cli(
         ["pointnetgpd_tpu.pipelines.generate_dataset", "r4", "--data-root",
          root, "--out-dir", out_dir, "--grasps-per-class",
-         str(args.grasps_per_class), "--seed", str(args.seed)], root, log))
+         str(args.grasps_per_class), "--ladder", "full",
+         "--seed", str(args.seed)], root, log))
     # the split is cheap and idempotent (same seed -> same split): always
     # re-run it so n_rows is available on resume
     t0 = time.time()
@@ -326,8 +356,11 @@ def main(argv=None):
          "--batch-size", str(args.batch_size), "--data-root", root,
          "--model-path", model_path,
          "--log-dir", os.path.join(root, "log")], root, log))
-    # standalone inference CLI on one generated view crop
-    ckpt_dir = os.path.join(model_path, "wf20")
+    # standalone inference CLI on one generated view crop. The train CLI
+    # writes step_N checkpoints directly under --model-path (the tag names
+    # the log stream, not a subdirectory — training/loop.py:238); cli.infer
+    # resolves a directory to its newest step_N itself.
+    ckpt_dir = model_path
     any_cloud = sorted(glob.glob(os.path.join(
         root, "data/ycb-tools/models/ycb/*/rgbd/clouds/*.npy")))[0]
     stage("7_infer_cli", lambda: run_cli(
@@ -396,10 +429,12 @@ def report(args, names, n_rows, total_rows, times, det, log):
         "",
         "## Online detection on the trained model",
         "",
-        f"- rendered tabletop scene: {det['scene_points']} points,"
-        f" 3 objects",
-        f"- GPG candidates: {det['candidates']};"
-        f" classifier-approved grasps: {det['good_grasps']}"
+        f"- rendered tabletop scene: {det['scene_points']} points"
+        f" (3 merged registered views, like the reference's multi-kinect"
+        f" /table_top_points), 3 objects",
+        f"- GPG candidates: {det['candidates']}"
+        f" (class histogram {det.get('pred_hist')});"
+        f" classifier-approved (top-class) grasps: {det['good_grasps']}"
         + (f"; top score {det['top_score']:.3f}"
            if det["top_score"] is not None else ""),
         "",

@@ -155,9 +155,21 @@ def main(argv=None):
     p.add_argument("--out-dir", default="./generated_grasps")
     p.add_argument("--gripper", default="robotiq_85")
     p.add_argument("--grasps-per-class", type=int, default=20)
-    p.add_argument("--less-class", action="store_true", default=True)
+    # The reference hardcodes less_class=True "to accelerate the dataset
+    # generate" (generate-dataset-canny.py:88-90), but its OWN training
+    # thresholds only produce a 3-class (or balanced 2-class) task with the
+    # full ladder: less_class frictions are {2.0, 1.6, 0.6}, and score =
+    # fc + 0.01*canny can then never reach the main_1v_mc "good" band
+    # (score <= 0.5, main_1v_mc.py thresh_good) — every row lands in class
+    # 0/1 and training degenerates to majority-class. The full ladder
+    # reaches 0.4 and makes all classes populated (docs/QUIRKS.md).
+    p.add_argument("--ladder", choices=("less", "full"), default="less",
+                   help="friction ladder: 'less' = [2.0, 1.6, 0.6] "
+                   "(reference default), 'full' = 2.0..0.4 (required for "
+                   "the 1v_mc/fullv_mc thresholds to see class 2)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    args.less_class = args.ladder == "less"
 
     gripper = Gripper.named(args.gripper)
     file_dir = os.path.join(args.data_root,

@@ -46,6 +46,29 @@ def test_labels_from_scores_bands():
     assert lab.tolist() == [0, 2, 1] and w.tolist() == [1.0, 1.0, 1.0]
 
 
+def test_less_class_ladder_cannot_reach_good_band():
+    """The reference's less_class friction ladder {2.0, 1.6, 0.6}
+    (generate-dataset-canny.py:88-90) is incompatible with its own training
+    thresholds: score = fc + 0.01*canny never reaches main_1v_mc's good band
+    (<= 0.5), so 3-class training on less_class labels degenerates to
+    majority-class — caught by the 20-object workflow rehearsal
+    (docs/QUIRKS.md). The full ladder's 0.4 rung reaches class 2.
+    pipelines/generate_dataset.py --ladder full exists for exactly this."""
+    from pointnetgpd_tpu.grasping.evaluation import (
+        FC_LIST_FULL,
+        FC_LIST_LESS_CLASS,
+    )
+
+    canny = np.linspace(0.0, 1.5, 7)  # observed canny range is ~[0, 1.5]
+    for fc in FC_LIST_LESS_CLASS:
+        lab, _ = labels_from_scores(np.full_like(canny, fc), canny,
+                                    0.5, 1.2, 3)
+        assert not np.any(lab == 2)
+    lab, _ = labels_from_scores(
+        np.full_like(canny, FC_LIST_FULL.min()), canny, 0.5, 1.2, 3)
+    assert np.all(lab == 2)  # 0.4 + 0.01*canny <= 0.5 for canny <= 10
+
+
 def test_fused_train_step_learns_on_dp_mesh():
     """One fused (crop+fwd+bwd) step program, batch sharded over 8 devices:
     loss must drop over a few steps on learnable synthetic data."""
