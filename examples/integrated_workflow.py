@@ -192,10 +192,15 @@ def split_labels(root: str, out_dir: str, train_frac: float = 0.8,
     return n_rows
 
 
-def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0):
+def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0,
+                 num_classes: int = 2, num_seeds: int = 400):
     """Online path on the TRAINED model: compose a 3-object tabletop scene
     from the workflow's meshes via the native renderer, then run the
-    GraspDetector production preset on it (kinect2grasp.py end-to-end).
+    GraspDetector on it (kinect2grasp.py end-to-end) with BOTH presets,
+    each with the per-guard funnel table, and ground-truth-validate every
+    candidate against the scene objects' exact SDFs
+    (pipelines/ground_truth.py): do the classifier's top-ranked grasps
+    have higher true epsilon-quality than the candidate pool?
 
     The cloud merges THREE registered low-elevation views, matching the
     reference's /table_top_points input (a merged multi-kinect cloud —
@@ -203,12 +208,18 @@ def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0):
     sees mostly top surfaces, and GPG's downward-approach guard
     (grasp_sampler.py:1564-1569) needs side-surface seeds: measured on this
     scene, 1 top-down view -> 1.5k points -> 0 candidates, 3 merged views
-    -> 14k points -> candidates at the documented ~5% funnel pass rate."""
+    -> 14k points -> candidates at the documented ~5% funnel pass rate
+    (the production preset's height-biased seeds raise that; see the
+    committed funnel tables)."""
     import jax  # noqa: F401  (forces backend init inside the stage timer)
 
     from pointnetgpd_tpu.cli.infer import load_scorer
-    from pointnetgpd_tpu.geometry.io import read_obj
+    from pointnetgpd_tpu.geometry.io import read_obj, read_sdf
     from pointnetgpd_tpu.geometry.mesh import Mesh3D
+    from pointnetgpd_tpu.grasping.gripper import Gripper
+    from pointnetgpd_tpu.pipelines.ground_truth import (
+        ground_truth_quality, summarize_ground_truth,
+    )
     from pointnetgpd_tpu.pipelines.render_clouds import (
         DEFAULT_INTR, backproject_depth,
     )
@@ -220,7 +231,7 @@ def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0):
     class _A:  # load_scorer's args shim
         load_model = ckpt_dir
         model_type = None
-        k = 3
+        k = num_classes
         num_point = 500
         repeat = 1
         ref_path = ""
@@ -237,15 +248,18 @@ def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0):
         diag.append((float(np.linalg.norm(np.ptp(v, axis=0))), nm))
     picks = [nm for _, nm in sorted(diag, reverse=True)[:3]]
     meshes = []
+    objects = []  # (SdfGrid, world pose) for ground truth
     for j, nm in enumerate(picks):
-        v, f = read_obj(os.path.join(base, nm, "google_512k",
-                                     "nontextured.obj"))
+        gdir = os.path.join(base, nm, "google_512k")
+        v, f = read_obj(os.path.join(gdir, "nontextured.obj"))
         m = Mesh3D(v, f)
         lift = -float(np.asarray(m.vertices)[:, 2].min())
         t = np.eye(4)
         t[:2, 3] = [(-0.16, 0.14, 0.0)[j], (-0.05, -0.12, 0.16)[j]]
         t[2, 3] = lift  # rest ON the table plane z=0
         meshes.append(SceneObject(m, t))
+        objects.append((read_sdf(os.path.join(gdir, "nontextured.sdf")),
+                        t.astype(np.float32)))
     cam = VirtualCamera(DEFAULT_INTR)
     views = [np.array([0.45, 0.12, 0.28]), np.array([-0.12, -0.45, 0.28]),
              np.array([-0.3, 0.35, 0.3])]
@@ -257,31 +271,89 @@ def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0):
         view_pts = backproject_depth(depth, DEFAULT_INTR.k, t_wc)
         # table segmentation (z=0 plane; the reference RANSAC-fits it)
         clouds.append(view_pts[view_pts[:, 2] > 0.004])
-    pts = np.concatenate(clouds)
+    pts = np.concatenate(clouds).astype(np.float32)
     # normals orient toward a virtual viewpoint above the scene centroid
     # (the merged cloud has no single camera; outward == away from table)
     cam_pos = np.array([0.0, 0.0, 0.6], np.float32)
-    det = GraspDetector(scorer, config=DetectorConfig.production(
-        cloud_pad_to=8192, max_num_samples=300))
-    out = det.process_frame(pts.astype(np.float32), cam_pos, seed=seed)
-    pred = np.asarray(out["pred"])
-    return {"scene_points": int(len(pts)),
+    gripper = Gripper()
+
+    def run_preset(name, cfg):
+        det = GraspDetector(scorer, gripper, config=cfg)
+        out = det.process_frame(pts, cam_pos, seed=seed, funnel=True)
+        pred = np.asarray(out["pred"])
+        pts_np = np.asarray(out["points"])
+        gt = ground_truth_quality(out["all_frames"], objects, gripper,
+                                  points=pts_np)
+        # classifier ranking over the candidate buffer: best-class prob
+        # descending (the publish order, kinect2grasp.py:506-514)
+        ranked = np.argsort(-np.asarray(out["all_scores"], np.float64),
+                            kind="stable")
+        summary = summarize_ground_truth(gt, ranked, top_k=5)
+        # approved == voted best class (the reference's publish rule)
+        approved = np.where(pred == num_classes - 1)[0]
+        if len(approved):
+            summary["approved_mean_eps_mu0.6"] = round(
+                float(np.mean(gt["eps_good"][approved])), 5)
+            summary["approved_frac_fc_mu0.6"] = round(
+                float(np.mean(gt["fc_good"][approved])), 4)
+        return {
+            "preset": name,
             "candidates": int(len(out["all_frames"])),
-            "pred_hist": np.bincount(pred, minlength=3).tolist()
-            if len(pred) else [0, 0, 0],
+            "n_valid": int(out["n_valid"]),
+            "pred_hist": np.bincount(
+                pred, minlength=num_classes).tolist()
+            if len(pred) else [0] * num_classes,
             "good_grasps": int(len(out["grasps"])),
             "top_score": float(out["scores"][0]) if len(out["scores"])
-            else None}
+            else None,
+            "funnel": {k: int(v) for k, v in out["funnel"].items()
+                       if np.ndim(v) == 0},
+            "ground_truth": summary,
+        }
+
+    res = {
+        "scene_points": int(len(pts)),
+        "scene_objects": picks,
+        "num_seeds": num_seeds,
+        "production": run_preset("production", DetectorConfig.production(
+            cloud_pad_to=8192, max_num_samples=num_seeds)),
+        "reference_parity": run_preset(
+            "reference_parity", DetectorConfig.reference_parity(
+                cloud_pad_to=8192, max_num_samples=num_seeds)),
+        # the deciding measurement for the seed_bias production default
+        # (docs/FUNNEL.md): same production preset, height-biased seeds
+        "production_height_bias": run_preset(
+            "production_height_bias", DetectorConfig.production(
+                cloud_pad_to=8192, max_num_samples=num_seeds,
+                seed_bias="height")),
+    }
+    # headline fields mirror the production preset
+    for k in ("candidates", "pred_hist", "good_grasps", "top_score"):
+        res[k] = res["production"][k]
+    return res
+
+
+VARIANT_CFG = {
+    # training variant -> (classes, thresholds) for the report's label
+    # histogram + the detect stage's scorer head (cli/train.py VARIANTS)
+    "1v": dict(num_classes=2, thresh_good=0.6, thresh_bad=0.6),
+    "1v_mc": dict(num_classes=3, thresh_good=0.5, thresh_bad=1.2),
+}
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/workflow20")
     p.add_argument("--objects", type=int, default=20)
-    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--variant", choices=sorted(VARIANT_CFG), default="1v",
+                   help="1v = 2-class main_1v semantics (thresh .6/.6, the"
+                   " separable design); 1v_mc = 3-class (round-4 setting)")
+    p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--steps-per-epoch", type=int, default=50)
+    p.add_argument("--steps-per-epoch", type=int, default=60)
     p.add_argument("--grasps-per-class", type=int, default=20)
+    p.add_argument("--num-seeds", type=int, default=400,
+                   help="GPG seed budget for the detect stage")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-md", default="docs/WORKFLOW_20OBJ.md")
     p.add_argument("--fresh", action="store_true",
@@ -344,17 +416,18 @@ def main(argv=None):
         ["pointnetgpd_tpu.pipelines.render_clouds", "--data-root", root],
         root, log))
     model_path = os.path.join(root, "learned_models")
-    stage("5_train_1v_mc", lambda: run_cli(
-        ["pointnetgpd_tpu.cli.train", "--variant", "1v_mc", "--mode",
+    stage(f"5_train_{args.variant}", lambda: run_cli(
+        ["pointnetgpd_tpu.cli.train", "--variant", args.variant, "--mode",
          "train", "--tag", "wf20", "--epoch", str(args.epochs),
          "--batch-size", str(args.batch_size), "--steps-per-epoch",
-         str(args.steps_per_epoch), "--data-root", root, "--model-path",
+         str(args.steps_per_epoch), "--eval-steps", "20",
+         "--data-root", root, "--model-path",
          model_path, "--log-dir", os.path.join(root, "log")], root, log))
-    stage("6_eval_1v_mc", lambda: run_cli(
-        ["pointnetgpd_tpu.cli.train", "--variant", "1v_mc", "--mode",
+    stage(f"6_eval_{args.variant}", lambda: run_cli(
+        ["pointnetgpd_tpu.cli.train", "--variant", args.variant, "--mode",
          "test", "--tag", "wf20", "--load-epoch", str(args.epochs - 1),
-         "--batch-size", str(args.batch_size), "--data-root", root,
-         "--model-path", model_path,
+         "--batch-size", str(args.batch_size), "--eval-steps", "20",
+         "--data-root", root, "--model-path", model_path,
          "--log-dir", os.path.join(root, "log")], root, log))
     # standalone inference CLI on one generated view crop. The train CLI
     # writes step_N checkpoints directly under --model-path (the tag names
@@ -365,63 +438,92 @@ def main(argv=None):
         root, "data/ycb-tools/models/ycb/*/rgbd/clouds/*.npy")))[0]
     stage("7_infer_cli", lambda: run_cli(
         ["pointnetgpd_tpu.cli.infer", "--load-model", ckpt_dir, "--input",
-         any_cloud, "--repeat", "3"], root, log))
+         any_cloud, "--repeat", "3",
+         "--k", str(VARIANT_CFG[args.variant]["num_classes"])], root, log))
     det_path = os.path.join(root, "det.json")
+    vcfg = VARIANT_CFG[args.variant]
     if args.resume and "8_detect_frame" in times and os.path.exists(det_path):
         det = json.load(open(det_path))
     else:
         t0 = time.time()
-        det = detect_stage(root, ckpt_dir, names, seed=args.seed)
+        det = detect_stage(root, ckpt_dir, names, seed=args.seed,
+                           num_classes=vcfg["num_classes"],
+                           num_seeds=args.num_seeds)
         times["8_detect_frame"] = time.time() - t0
         json.dump(times, open(times_path, "w"))
         json.dump(det, open(det_path, "w"))
 
     total_rows = sum(a + b for a, b in n_rows.values())
+    # parse the log / test split ONCE and reuse for both outputs (ADVICE r4)
+    eval_acc = _parse_eval_acc(log)
+    test_hist = _test_label_hist(root, vcfg)
+    yield_summary = _load_yield_summary(out_dir)
     report(args, names, n_rows, total_rows, times, det, log,
-           eval_acc=_parse_eval_acc(log),
-           test_hist=_test_label_hist(root))
+           eval_acc=eval_acc, test_hist=test_hist,
+           yield_summary=yield_summary)
     print(json.dumps({"times_s": {k: round(v, 1) for k, v in times.items()},
                       "detect": det, "total_rows": total_rows,
-                      "eval_acc": _parse_eval_acc(log),
-                      "test_hist": _test_label_hist(root)}))
+                      "eval_acc": eval_acc,
+                      "test_hist": test_hist}))
     return
 
 
 def _parse_eval_acc(log_path):
     """Last `Test done, acc=...` line the eval stage appended to the log
-    (cli.train --mode test prints the reference's format, main_1v.py:108)."""
+    (cli.train --mode test prints the reference's format, main_1v.py:108).
+    One malformed line must not mask a later valid one (ADVICE r4), so the
+    float parse is guarded per line."""
     acc = None
     try:
         for ln in open(log_path, errors="replace"):
             if "Test done, acc=" in ln:
-                acc = float(ln.split("acc=")[1].split(",")[0])
-    except (OSError, ValueError):
+                try:
+                    acc = float(ln.split("acc=")[1].split(",")[0])
+                except ValueError:
+                    continue
+    except OSError:
         pass
     return acc
 
 
-def _test_label_hist(root):
-    """3-class label histogram of the test split under the 1v_mc thresholds
-    (0.5/1.2, main_1v_mc.py) — gives the majority-class prior the eval
-    accuracy must beat to show the model learned anything."""
+def _test_label_hist(root, vcfg):
+    """Label histogram of the test split under the training variant's
+    thresholds — gives the majority-class prior the eval accuracy must beat
+    to show the model learned anything."""
     from pointnetgpd_tpu.training.data import labels_from_scores
 
-    hist = np.zeros(3, np.int64)
+    k = vcfg["num_classes"]
+    hist = np.zeros(k, np.int64)
     for pth in sorted(glob.glob(os.path.join(
             root, "PointNetGPD/data/ycb_grasp/test/*.npy"))):
         rows = np.load(pth)
         if not len(rows):
             continue
-        lab, w = labels_from_scores(rows[:, -2], rows[:, -1], 0.5, 1.2, 3)
+        lab, w = labels_from_scores(rows[:, -2], rows[:, -1],
+                                    vcfg["thresh_good"], vcfg["thresh_bad"],
+                                    k)
         lab = np.asarray(lab)[np.asarray(w) > 0]
-        hist += np.bincount(lab, minlength=3)[:3]
+        hist += np.bincount(lab, minlength=k)[:k]
     return hist.tolist()
 
 
+def _load_yield_summary(out_dir):
+    """pipelines.generate_dataset writes per-object quota accounting
+    (yield_summary.json); absent for pre-round-5 runs."""
+    pth = os.path.join(out_dir, "yield_summary.json")
+    if os.path.exists(pth):
+        return json.load(open(pth))
+    return None
+
+
 def report(args, names, n_rows, total_rows, times, det, log,
-           eval_acc=None, test_hist=None):
+           eval_acc=None, test_hist=None, yield_summary=None):
+    vcfg = VARIANT_CFG[args.variant]
+    k = vcfg["num_classes"]
+    ladder_note = ("2-class main_1v semantics, thresh .6/.6"
+                   if k == 2 else "3-class, thresh 0.5/1.2")
     lines = [
-        "# Integrated offline workflow at 20-object scale",
+        f"# Integrated offline workflow at {len(names)}-object scale",
         "",
         "One command (`examples/integrated_workflow.py`) drives the FULL",
         "offline flow through the repo's CLI entry points in fresh",
@@ -431,22 +533,54 @@ def report(args, names, n_rows, total_rows, times, det, log,
         "generate-dataset-canny.py replacement) -> train/test split ->",
         "`pipelines.render_clouds` (per-view clouds; stands in for",
         "ycb_cloud_generate.py's RGB-D conversion, which needs real",
-        "captures) -> `cli.train --variant 1v_mc` -> `cli.train --mode",
-        "test` -> `cli.infer` -> GraspDetector production preset on a",
-        "rendered 3-object tabletop frame.",
+        f"captures) -> `cli.train --variant {args.variant}` -> `cli.train"
+        " --mode test` -> `cli.infer` -> GraspDetector (both presets) on a",
+        "rendered 3-object tabletop frame, with every candidate",
+        "ground-truth-validated against the scene objects' exact SDFs.",
         "",
         f"- objects: {len(names)} ({args.grasps_per_class}/class target,"
-        " 3-class ladder)",
+        " full friction ladder)",
         f"- labeled rows: {total_rows} (12-col reference format)",
         f"- training: {args.epochs} epochs x {args.steps_per_epoch} steps,"
-        f" batch {args.batch_size}, variant 1v_mc",
+        f" batch {args.batch_size}, variant {args.variant} ({ladder_note})",
     ]
     if eval_acc is not None and test_hist and sum(test_hist):
         prior = max(test_hist) / sum(test_hist)
+        n_test = sum(test_hist)
+        sigma = (prior * (1 - prior) / n_test) ** 0.5
+        margin = (eval_acc - prior) / sigma if sigma > 0 else float("inf")
         lines.append(
-            f"- eval on the held-out split: test acc {eval_acc:.3f} vs"
-            f" majority prior {prior:.3f} (test label histogram"
-            f" {test_hist}, 1v_mc thresholds)")
+            f"- **eval on the held-out split: test acc {eval_acc:.3f} vs"
+            f" majority prior {prior:.3f}** ({margin:+.1f} sigma at"
+            f" {n_test} weighted test rows; label histogram {test_hist},"
+            f" {args.variant} thresholds)")
+    if yield_summary:
+        ys = yield_summary
+        lines += [
+            "",
+            "## Labeling yield (quota accounting)",
+            "",
+            f"Target: {ys['grasps_per_class']}/class x {ys['n_classes']}"
+            f" friction classes = {ys['target_rows_per_object']} rows per"
+            f" object ({ys['target_rows_per_object'] * len(names)} total).",
+            f"Achieved: **{ys['total_rows']} rows** — per object"
+            f" min {ys['rows_min']} / median {ys['rows_median']:.0f} /"
+            f" max {ys['rows_max']};"
+            f" {ys['objects_quota_met']}/{len(ys['objects'])} objects met"
+            f" the full quota, {ys['objects_exhausted']} declared"
+            " exhausted (no new accepted row for `patience` consecutive"
+            " rounds — e.g. near-spherical objects have no high-friction-"
+            "only grasps; the reference's while-loop would spin on those"
+            " forever, generate-dataset-canny.py:109-134).",
+        ]
+        shortfalls = [o for o in ys["objects"] if not o["quota_met"]]
+        if shortfalls:
+            lines += ["", "| object | rows | per-class counts | status |",
+                      "|---|---|---|---|"]
+            for o in shortfalls:
+                status = ("exhausted" if o["exhausted"] else "budget spent")
+                lines.append(f"| {o['object']} | {o['n_rows']} |"
+                             f" {o['per_class']} | {status} |")
     lines += [
         "",
         "## Per-stage wall time",
@@ -463,15 +597,15 @@ def report(args, names, n_rows, total_rows, times, det, log,
         "3_split_labels": "manual arrangement (README.md:156)",
         "4_render_clouds": "~36 h YCB RGB-D conversion on 56 threads"
                            " (README.md:166)",
-        "5_train_1v_mc": "200-epoch torch DataParallel run"
-                         " (README.md:178-181)",
-        "6_eval_1v_mc": "per-epoch test pass (main_1v.py:87-110)",
+        f"5_train_{args.variant}": "200-epoch torch DataParallel run"
+                                   " (README.md:178-181)",
+        f"6_eval_{args.variant}": "per-epoch test pass (main_1v.py:87-110)",
         "7_infer_cli": "main_test.py demo loop",
         "8_detect_frame": "kinect2grasp.py frame (20 sampler procs)",
     }
-    for k, v in times.items():
+    for key, v in times.items():
         mins = f"{v/60:.1f} min" if v >= 60 else f"{v:.1f} s"
-        lines.append(f"| {k} | {mins} | {anchors.get(k, '')} |")
+        lines.append(f"| {key} | {mins} | {anchors.get(key, '')} |")
     total = sum(times.values())
     lines += [
         "",
@@ -481,22 +615,77 @@ def report(args, names, n_rows, total_rows, times, det, log,
         "",
         f"- rendered tabletop scene: {det['scene_points']} points"
         f" (3 merged registered views, like the reference's multi-kinect"
-        f" /table_top_points), 3 objects",
-        f"- GPG candidates: {det['candidates']}"
-        f" (class histogram {det.get('pred_hist')});"
-        f" classifier-approved grasps: {det['good_grasps']}"
-        + (f"; top score {det['top_score']:.3f}"
-           if det["top_score"] is not None else ""),
+        f" /table_top_points), 3 objects"
+        f" ({', '.join(det.get('scene_objects', []))}),"
+        f" {det.get('num_seeds', 300)} GPG seeds",
+    ]
+    for preset in ("production", "reference_parity",
+                   "production_height_bias"):
+        d = det.get(preset)
+        if not d:
+            continue
+        lines += [
+            "",
+            f"### Preset `{preset}`",
+            "",
+            f"- candidates: {d['candidates']} in the {args.num_seeds}-seed"
+            f" budget (sampler valid total {d['n_valid']}; reference"
+            " target: 40/frame, kinect2grasp.py:42-44)",
+            f"- class histogram {d['pred_hist']};"
+            f" classifier-approved grasps: {d['good_grasps']}"
+            + (f"; top score {d['top_score']:.3f}"
+               if d["top_score"] is not None else ""),
+        ]
+        f_tab = d.get("funnel")
+        if f_tab:
+            lines += ["", "Per-guard funnel ((seed x theta) frames"
+                      " surviving each GPG guard, reference order"
+                      " grasp_sampler.py:1539-1614):", "",
+                      "| " + " | ".join(f_tab) + " |",
+                      "|" + "---|" * len(f_tab),
+                      "| " + " | ".join(str(f_tab[key]) for key in f_tab)
+                      + " |"]
+        gt = d.get("ground_truth")
+        if gt:
+            lines += [
+                "",
+                "Ground truth vs the exact scene SDFs (epsilon ="
+                " Ferrari-Canny force-only at mu=0.6, the main_1v"
+                " good-band friction; quality.py:626-723):",
+                "",
+                f"- candidate pool: mean eps {gt['pool_mean_eps_mu0.6']},"
+                f" {gt['pool_frac_fc_mu0.6']:.0%} force-closure at mu 0.6,"
+                f" {gt['pool_frac_fc_mu2.0']:.0%} FC at mu 2.0",
+                f"- classifier top-{gt['top_k']}: mean eps"
+                f" {gt['topk_mean_eps_mu0.6']},"
+                f" {gt['topk_frac_fc_mu0.6']:.0%} FC at mu 0.6"
+                + (f"; approved set: mean eps"
+                   f" {gt['approved_mean_eps_mu0.6']},"
+                   f" {gt['approved_frac_fc_mu0.6']:.0%} FC"
+                   if "approved_mean_eps_mu0.6" in gt else ""),
+            ]
+    closing = [
         "",
         "Approval follows the reference's rule — a grasp is published only",
-        "if its voted class equals the best class (kinect2grasp.py:493-495)",
-        "— so approvals track what the small synthetic label set lets the",
-        "classifier learn (see the eval-vs-prior line above and",
-        "docs/TRAINING_PARITY.md: at this data scale neither this trainer",
-        "nor the reference's sustains accuracy above the majority prior).",
-        "",
-        f"Stage logs: `{os.path.basename(log)}` under the workflow root.",
+        "if its voted class equals the best class (kinect2grasp.py:493-495).",
     ]
+    if eval_acc is not None and test_hist and sum(test_hist):
+        prior = max(test_hist) / sum(test_hist)
+        if eval_acc > prior:
+            closing.append(
+                f"The trained classifier beats the majority prior"
+                f" ({eval_acc:.3f} vs {prior:.3f}); the ground-truth tables"
+                " above measure whether its ranking transfers to true"
+                " grasp quality on the rendered scene.")
+        else:
+            closing.append(
+                f"At this run's data scale the classifier did NOT beat the"
+                f" majority prior ({eval_acc:.3f} vs {prior:.3f}) — compare"
+                " the eval line above and docs/TRAINING_PARITY.md.")
+    closing.append("")
+    closing.append(
+        f"Stage logs: `{os.path.basename(log)}` under the workflow root.")
+    lines += closing
     os.makedirs(os.path.dirname(args.out_md) or ".", exist_ok=True)
     with open(args.out_md, "w") as f:
         f.write("\n".join(lines) + "\n")

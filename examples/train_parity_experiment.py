@@ -33,7 +33,7 @@ import numpy as np
 def _run_reference_seed(payload):
     """Subprocess target: one reference-trainer seed (torch CPU)."""
     (root, epochs, batch_size, lr, num_points, n_train, n_test, seed,
-     torch_threads) = payload
+     torch_threads, num_classes, thresh_good, thresh_bad) = payload
     import torch
 
     torch.set_num_threads(torch_threads)
@@ -46,10 +46,23 @@ def _run_reference_seed(payload):
     hist = parity.train_reference(
         root, epochs=epochs, batch_size=batch_size, lr=lr,
         num_points=num_points, grasp_amount_train=n_train,
-        grasp_amount_test=n_test, seed=seed, num_workers=0)
+        grasp_amount_test=n_test, seed=seed, num_workers=0,
+        num_classes=num_classes, thresh_good=thresh_good,
+        thresh_bad=thresh_bad)
     hist["seconds"] = round(time.time() - t0, 1)
     hist["seed"] = seed
     return hist
+
+
+# 2-class default object set: every object carries BOTH label populations
+# (a sphere's diametric grasps are all but uniformly good — by symmetry it
+# contributes one label and the task degenerates toward object recognition;
+# VERDICT r4: "objects with genuinely distinct good/bad grasp populations")
+OBJECTS_2CLASS = [
+    "parity_box", "parity_box_flat", "parity_cylinder",
+    "parity_cylinder_thin", "parity_capsule", "parity_ellipsoid_mesh",
+    "parity_cone_mesh", "parity_torus_mesh",
+]
 
 
 def main(argv=None):
@@ -60,11 +73,15 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=0.005)
     p.add_argument("--num-points", type=int, default=750)
     p.add_argument("--grasps-per-class", type=int, default=24)
-    p.add_argument("--max-rounds", type=int, default=16)
+    p.add_argument("--max-rounds", type=int, default=30)
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--seed", type=int, default=0, help="dataset seed")
+    p.add_argument("--num-classes", type=int, choices=(2, 3), default=2,
+                   help="2 = main_1v semantics (thresh .6/.6, v3 default);"
+                   " 3 = main_1v_mc (thresh .5/1.2, the v2 setting)")
     p.add_argument("--objects", nargs="*", default=None,
-                   help="object names (default: all PARITY_OBJECTS)")
+                   help="object names (default: OBJECTS_2CLASS for 2-class,"
+                   " all PARITY_OBJECTS for 3-class)")
     p.add_argument("--skip-build", action="store_true",
                    help="reuse an existing dataset at --root")
     p.add_argument("--skip-reference", action="store_true")
@@ -86,6 +103,13 @@ def main(argv=None):
 
     enable_compilation_cache()
 
+    if args.num_classes == 2:
+        thresh_good, thresh_bad = 0.6, 0.6   # main_1v.py
+        objects = args.objects or OBJECTS_2CLASS
+    else:
+        thresh_good, thresh_bad = 0.5, 1.2   # main_1v_mc.py
+        objects = args.objects
+
     meta_path = os.path.join(args.root, "parity_meta.json")
     if args.skip_build and os.path.exists(meta_path):
         meta = json.load(open(meta_path))
@@ -94,9 +118,13 @@ def main(argv=None):
         meta = parity.build_parity_dataset(
             args.root, grasps_per_class=args.grasps_per_class,
             max_rounds=args.max_rounds, seed=args.seed,
-            objects=args.objects)
+            objects=objects)
         meta["build_seconds"] = round(time.time() - t0, 1)
         json.dump(meta, open(meta_path, "w"))
+    meta["num_classes"] = args.num_classes
+    meta["thresh_good"], meta["thresh_bad"] = thresh_good, thresh_bad
+    meta["test_prior"] = _test_prior(args.root, meta, args.num_classes,
+                                     thresh_good, thresh_bad)
     print("dataset:", meta, flush=True)
 
     # resume support: merge into an existing curves file — but only one in
@@ -131,7 +159,9 @@ def main(argv=None):
             hist = parity.train_ours(
                 args.root, epochs=args.epochs, batch_size=args.batch_size,
                 lr=args.lr, num_points=args.num_points,
-                cloud_points=meta["points_per_view"], seed=s)
+                cloud_points=meta["points_per_view"], seed=s,
+                num_classes=args.num_classes, thresh_good=thresh_good,
+                thresh_bad=thresh_bad)
             hist["seconds"] = round(time.time() - t0, 1)
             hist["seed"] = s
             curves["ours"].append(hist)
@@ -144,7 +174,8 @@ def main(argv=None):
         todo = [s for s in seeds if s not in done]
         payloads = [(args.root, args.epochs, args.batch_size, args.lr,
                      args.num_points, meta["n_train"], meta["n_test"], s,
-                     max(1, (os.cpu_count() or 8) // max(args.ref_procs, 1)))
+                     max(1, (os.cpu_count() or 8) // max(args.ref_procs, 1)),
+                     args.num_classes, thresh_good, thresh_bad)
                     for s in todo]
         if payloads:
             with mp.get_context("spawn").Pool(
@@ -160,6 +191,26 @@ def main(argv=None):
     write_report(curves, args.out_md, args.out_json)
 
 
+def _test_prior(root, meta, num_classes, thresh_good, thresh_bad):
+    """Majority-class prior of the test split under the run's thresholds —
+    the number both trainers must beat to show learning."""
+    import glob
+
+    from pointnetgpd_tpu.training.data import labels_from_scores
+
+    hist = np.zeros(num_classes, np.int64)
+    for pth in sorted(glob.glob(os.path.join(
+            root, "PointNetGPD/data/ycb_grasp/test/*.npy"))):
+        rows = np.load(pth)
+        if not len(rows):
+            continue
+        lab, w = labels_from_scores(rows[:, -2], rows[:, -1], thresh_good,
+                                    thresh_bad, num_classes)
+        hist += np.bincount(np.asarray(lab)[np.asarray(w) > 0],
+                            minlength=num_classes)[:num_classes]
+    return round(float(hist.max() / max(hist.sum(), 1)), 4)
+
+
 def _final_quarter(hist, epochs):
     tail = max(1, epochs // 4)
     return float(np.mean(hist["test_acc"][-tail:]))
@@ -173,18 +224,23 @@ def write_report(curves, out_md, out_json):
     fo = [_final_quarter(h, epochs) for h in ours]
     fr = [_final_quarter(h, epochs) for h in ref]
 
+    k = meta.get("num_classes", 3)
+    ref_main = "main_1v.py" if k == 2 else "main_1v_mc.py"
+    thresh = (f"thresh {meta.get('thresh_good', 0.5)}/"
+              f"{meta.get('thresh_bad', 1.2)}")
+    version = "v3" if k == 2 else "v2"
     lines = [
-        "# Training-accuracy parity vs the reference trainer (v2)",
+        f"# Training-accuracy parity vs the reference trainer ({version})",
         "",
         "Both trainers ran on the IDENTICAL dataset files (generated by this",
         "repo's device labeling pipeline, written in the reference's",
         "$PointNetGPD_FOLDER layout), same epochs/batch/lr, both with the",
         "reference's per-epoch optimizer-reset quirk, MULTIPLE SEEDS each.",
         "Reference = the reference's own dataset + model code (imported, not",
-        "copied) under a main_1v_mc.py-semantics loop on torch CPU; ours =",
+        f"copied) under a {ref_main}-semantics loop on torch CPU; ours =",
         "OneViewBatcher + the fused crop train step on TPU. Eval = full test",
         "split each epoch. See pointnetgpd_tpu/pipelines/parity.py;",
-        "reference: PointNetGPD/main_1v_mc.py + model/dataset.py:464-549.",
+        f"reference: PointNetGPD/{ref_main} + model/dataset.py.",
         "",
         f"- dataset: {len(meta['objects'])} objects"
         f" ({', '.join(meta['objects'])})",
@@ -193,9 +249,15 @@ def write_report(curves, out_md, out_json):
         f" {meta['n_test'] * len(meta['objects'])} test total,"
         " 6 views/object",
         f"- config: {epochs} epochs, batch {curves['batch_size']},"
-        f" lr {curves['lr']}, {curves['num_points']} points, 3-class"
-        " (thresh 0.5/1.2)",
+        f" lr {curves['lr']}, {curves['num_points']} points, {k}-class"
+        f" ({thresh})",
         f"- seeds: {len(ours)} (ours), {len(ref)} (reference)",
+    ]
+    prior = meta.get("test_prior")
+    if prior is not None:
+        lines.append(f"- majority-class prior of the test split:"
+                     f" **{prior:.3f}** — the bar both trainers must beat")
+    lines += [
         "",
         "## Final-quarter mean test accuracy (per seed)",
         "",
@@ -214,6 +276,13 @@ def write_report(curves, out_md, out_json):
             f"**Reference: {mr:.3f} ± {sr:.3f}; ours: {mo:.3f} ± {so:.3f}"
             f" (|mean diff| = {abs(mr - mo):.3f}).**",
         ]
+        if prior is not None:
+            verdict = ("BOTH trainers beat the prior"
+                       if min(mr, mo) > prior else
+                       "at least one trainer does NOT beat the prior")
+            lines.append(
+                f"Against the {prior:.3f} prior: reference {mr - prior:+.3f},"
+                f" ours {mo - prior:+.3f} — {verdict}.")
     # per-seed best + loss-spike diagnostics for the reference trainer
     if ref:
         lines += ["", "## Reference loss spikes are seed noise",

@@ -132,7 +132,7 @@ class DexNet:
         gripper = gripper or Gripper()
         sdf = self.dataset.sdf(key)
         com = self.dataset.mesh(key).center_of_mass()
-        rows, counts = label_grasps_for_object(
+        rows, counts, _ = label_grasps_for_object(
             sdf, com, gripper, jax.random.PRNGKey(seed),
             grasps_per_class=self.config["grasps_per_class"])
         if store and len(rows):

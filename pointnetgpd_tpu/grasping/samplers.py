@@ -222,10 +222,15 @@ class GpgCandidates(NamedTuple):
     valid: jnp.ndarray   # (N,) bool
 
 
+FUNNEL_STAGES = (
+    "frames", "seed_above_table", "frame_estimate", "dy_window",
+    "downward_guard", "approach_hit", "open_region", "no_collision")
+
+
 @functools.partial(jax.jit, static_argnames=(
     "gripper", "num_seeds", "max_neighbors", "num_dy", "dtheta_deg",
     "range_dtheta", "approach_steps", "min_open_points", "seed_chunk",
-    "mesh", "exact", "normal_k", "normal_window"))
+    "mesh", "exact", "normal_k", "normal_window", "seed_bias", "debug"))
 def gpg_sample_candidates(
     points,
     normals,
@@ -251,6 +256,8 @@ def gpg_sample_candidates(
     bbox=None,
     normal_k: int = 30,
     normal_window: int = 2048,
+    seed_bias: str = "none",
+    debug: bool = False,
 ) -> GpgCandidates:
     """GPG candidate generation on a raw cloud, fully batched
     (GpgGraspSamplerPcl.sample_grasps, grasp_sampler.py:1389-1656).
@@ -290,6 +297,20 @@ def gpg_sample_candidates(
     covariance instead of the TPU default ``lax.approx_min_k`` (the same
     escape hatch as ``estimate_normals_knn(exact=True)``) — parity/oracle
     runs can pin down the reference's exact-KNN semantics end to end.
+
+    ``seed_bias="height"``: Gaussian-over-height weighted seed selection
+    (Gumbel-top-k) — the reference's PointGraspSampler bias
+    (grasp_sampler.py:1040-1046) applied online. GPG's downward guard only
+    accepts side-visible seeds, and sides live at mid heights, so the bias
+    spends the seed budget where candidates can actually come from
+    (measured funnel: see docs/FUNNEL.md). "none" = uniform (reference
+    online behavior, kinect2grasp.py:145-147).
+
+    ``debug=True``: additionally return a funnel dict — total frames plus
+    the number of (seed, theta) frames surviving each guard, keyed by
+    ``FUNNEL_STAGES`` (device scalars; cumulative, reference guard order
+    grasp_sampler.py:1539-1614). Disables the pre-guard block pruning so
+    every frame's counts are real.
     """
     p_total = points.shape[0]
     dtype = points.dtype
@@ -305,8 +326,27 @@ def gpg_sample_candidates(
     # sample seeds from points above the table (kinect2grasp.py:145-147)
     above = points[:, 2] > min_points_above_table
     k_seed, _ = jax.random.split(key)
-    # masked choice: random keys, invalid pushed to -inf
-    z = jax.random.uniform(k_seed, (p_total,))
+    if seed_bias == "height":
+        # Gaussian-over-height seed bias (the reference's PointGraspSampler
+        # trick, grasp_sampler.py:1040-1046, applied to the online sampler):
+        # GPG's downward-approach guard only ever accepts side-visible
+        # seeds (docs/QUIRKS.md), and side surfaces live at mid heights —
+        # top surfaces cluster at each object's z-max. Weighted sampling
+        # WITHOUT replacement via Gumbel-top-k: z_i = log w_i + Gumbel_i.
+        zs = points[:, 2]
+        big = jnp.asarray(1e9, zs.dtype)
+        z_lo = jnp.min(jnp.where(above, zs, big))
+        z_hi = jnp.max(jnp.where(above, zs, -big))
+        ok = z_hi > z_lo
+        mid = jnp.where(ok, 0.5 * (z_lo + z_hi), 0.0)
+        sigma = jnp.where(ok, jnp.maximum((z_hi - z_lo) / 4.0, 1e-6), 1.0)
+        logw = -0.5 * jnp.square((zs - mid) / sigma)
+        u = jax.random.uniform(k_seed, (p_total,), minval=1e-12,
+                               maxval=1.0 - 1e-7)
+        z = logw - jnp.log(-jnp.log(u))
+    else:
+        # masked choice: random keys, invalid pushed to -inf
+        z = jax.random.uniform(k_seed, (p_total,))
     z = jnp.where(above, z, -jnp.inf)
     _, seed_idx = jax.lax.top_k(z, min(num_seeds, p_total))
     if seed_idx.shape[0] < num_seeds:
@@ -476,9 +516,13 @@ def gpg_sample_candidates(
         if jax.default_backend() == "tpu":
             # Pallas path: the context shares the padded cloud, rotation
             # weights, and pruning spheres across the three scans; blocks
-            # with no pre_ok frame skip every tile
-            ctx = GpgScanContext(points_r, seeds_rep, rr, boxes_np,
-                                 active=pre_ok)
+            # with no pre_ok frame skip every tile. Funnel debugging needs
+            # REAL counts for every frame (a pruned frame's zero counts
+            # would misattribute a downward-guard rejection to the
+            # dy-window stage), so debug disables the block skip.
+            ctx = GpgScanContext(
+                points_r, seeds_rep, rr, boxes_np,
+                active=jnp.ones_like(pre_ok) if debug else pre_ok)
 
             def counts(fixed, scan, scan_is_y):
                 return ctx.counts(fixed, scan, scan_is_y=scan_is_y)
@@ -545,21 +589,45 @@ def gpg_sample_candidates(
                  & pre_ok)  # pre_ok: skipped blocks' counts are don't-cares
         frames = jnp.stack([bc2, t_normal, t_major, minor_rep, bc_mod],
                            axis=1)                               # (F, 5, 3)
-        return frames, valid
+        # per-guard funnel masks, cumulative in the reference's guard order
+        # (dy window :1539-1563, downward :1564-1569, approach :1574-1585,
+        # open-region + collision :1607-1614); last stage == valid
+        m1 = above_rep
+        m2 = m1 & m_ok_rep
+        m3 = m2 & (n_ok > 0)
+        m4 = m3 & downward
+        m5 = m4 & hit
+        m6 = m5 & (c3[:, 0] > min_open_points)
+        m7 = m6 & (c3[:, 1] == 0) & (c3[:, 2] == 0) & (c3[:, 3] == 0) \
+            & pre_ok
+        stages = jnp.stack([m1, m2, m3, m4, m5, m6, m7], axis=1)  # (F, 7)
+        return frames, valid, stages
 
-    def unsort_out(frames, valid):
+    def unsort_out(frames, valid, stages):
         """Compaction order -> Morton order -> original random seed order
         (seed-major layout)."""
         frames = frames[cunsort]
         valid = valid[cunsort]
         f5 = frames.reshape(num_seeds, n_theta, 5, 3)[unsort]
         v2 = valid.reshape(num_seeds, n_theta)[unsort]
-        return GpgCandidates(f5.reshape(-1, 5, 3), v2.reshape(-1))
+        cands = GpgCandidates(f5.reshape(-1, 5, 3), v2.reshape(-1))
+        if not debug:
+            return cands
+        # funnel: total frames + surviving count per guard (device scalars
+        # — ride the caller's fetch), keyed by FUNNEL_STAGES
+        funnel = {"frames": jnp.asarray(n_frames, jnp.int32)}
+        sums = jnp.sum(stages, axis=0).astype(jnp.int32)
+        for i, name in enumerate(FUNNEL_STAGES[1:]):
+            funnel[name] = sums[i]
+        # selected seed z-heights (selection order) — lets callers audit
+        # the seed_bias distribution without re-deriving seed indices
+        funnel["seed_heights"] = points[seed_idx][unsort][:, 2]
+        return cands, funnel
 
     if mesh is None:
-        frames, valid = frames_block(points, seeds_rep, rr, m_ok_rep,
-                                     above_rep, pre_ok)
-        return unsort_out(frames, valid)
+        frames, valid, stages = frames_block(points, seeds_rep, rr, m_ok_rep,
+                                             above_rep, pre_ok)
+        return unsort_out(frames, valid, stages)
 
     # mesh-sharded: frames are independent given the replicated cloud, so
     # shard the (seed x theta) axis over the mesh — zero collectives, the
@@ -582,15 +650,17 @@ def gpg_sample_candidates(
     eye_rows = jnp.broadcast_to(jnp.eye(3, dtype=rr.dtype),
                                 (f_pad - n_frames, 3, 3))
     rr_p = jnp.concatenate([rr, eye_rows]) if f_pad > n_frames else rr
-    frames, valid = shard_map(
+    frames, valid, stages = shard_map(
         frames_block, mesh=mesh,
         in_specs=(PartitionSpec(), PartitionSpec(axis), PartitionSpec(axis),
                   PartitionSpec(axis), PartitionSpec(axis),
                   PartitionSpec(axis)),
-        out_specs=(PartitionSpec(axis), PartitionSpec(axis)),
+        out_specs=(PartitionSpec(axis), PartitionSpec(axis),
+                   PartitionSpec(axis)),
     )(points, padf(seeds_rep), rr_p, padf(m_ok_rep), padf(above_rep),
       padf(pre_ok))
-    return unsort_out(frames[:n_frames], valid[:n_frames])
+    return unsort_out(frames[:n_frames], valid[:n_frames],
+                      stages[:n_frames])
 
 
 def sample_grasps_stable_poses(sdf: sdf_lib.SdfGrid, key, stable_poses,

@@ -1,0 +1,198 @@
+"""Ground-truth validation of detected grasps against the scene's exact SDFs.
+
+This environment has something the reference never had: the EXACT signed
+distance field of every object in the rendered tabletop scene. So every
+grasp the online detector (robot/node.py, the kinect2grasp.py equivalent)
+proposes can be scored with the same physics the offline labeler uses —
+force closure over the friction ladder + the Ferrari-Canny epsilon metric
+(reference quality definitions: dex-net/src/dexnet/grasping/quality.py:
+245-283 force_closure, 626-723 ferrari_canny_L1_force_only) — instead of
+only the classifier's opinion of a cropped point cloud.
+
+The validation question (VERDICT r4): do the classifier's top-ranked grasps
+have higher ground-truth quality than the candidate-pool average? This
+module turns a detector result + the known scene objects into per-candidate
+ground-truth labels and the summary statistics that answer it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import sdf as sdf_lib
+from ..grasping.evaluation import (
+    FC_LIST_FULL,
+    evaluate_ferrari_canny,
+    evaluate_force_closure,
+    friction_boundary_labels,
+)
+from ..grasping.gripper import Gripper
+
+
+def configs_from_frames(frames: np.ndarray, gripper: Gripper,
+                        points: np.ndarray | None = None) -> np.ndarray:
+    """GPG candidate frames -> 10-dim grasp configurations (world frame).
+
+    frames: (G, 5, 3) rows [bottom_center, approach, binormal(major), minor,
+    bottom_center_modified] (grasp_sampler.py:1616-1618). The configuration
+    center must sit INSIDE the grasped body on the jaw closing line; the
+    hand bottom is outside it by construction (GPG backs the hand off after
+    the approach collision, grasp_sampler.py:1583-1585), so the center is
+    placed at the closing-region depth of the OBSERVED surface points: the
+    mean approach-axis coordinate of the scene points inside the closing
+    region (the same membership the crop uses, kinect2grasp.py:216-233).
+    Falls back to half the hand depth when no points land in the region
+    (or when ``points`` is None).
+    """
+    frames = np.asarray(frames, np.float32)
+    g = len(frames)
+    configs = np.zeros((g, 10), np.float32)
+    for i, fr in enumerate(frames):
+        bc, approach, major, minor = fr[4], fr[1], fr[2], fr[3]
+        depth = gripper.hand_depth / 2.0
+        if points is not None and len(points):
+            rel = points - bc
+            x = rel @ approach
+            y = rel @ major
+            z = rel @ minor
+            inside = ((x > 0) & (x < gripper.hand_depth)
+                      & (np.abs(y) < gripper.open_width / 2.0)
+                      & (np.abs(z) < gripper.hand_height / 2.0))
+            if inside.sum() >= 3:
+                depth = float(np.mean(x[inside]))
+        center = bc + approach * depth
+        configs[i, 0:3] = center
+        configs[i, 3:6] = major
+        configs[i, 6] = gripper.open_width
+        # angle/jaw/min_width zero: close_fingers without approach checking
+    return configs
+
+
+def ground_truth_quality(frames: np.ndarray, objects, gripper: Gripper,
+                         points: np.ndarray | None = None,
+                         fc_list=None, mu_good: float = 0.6,
+                         num_samples: int = 40):
+    """Exact per-candidate ground truth against the scene objects' SDFs.
+
+    objects: list of (SdfGrid, transform(4, 4)) — the object's SDF in its
+    own frame plus its world pose in the scene (rotation + translation).
+    Each candidate is assigned to the nearest object (by configuration
+    center vs object world-frame bbox center), transformed into that
+    object's frame, and evaluated with the SAME device programs the offline
+    labeler uses: the full friction ladder boundary label
+    (generate-dataset-canny.py:109-133 semantics) + Ferrari-Canny at the
+    label friction, plus force-closure and epsilon at the FIXED ``mu_good``
+    (one comparable scalar per candidate; 0.6 == the main_1v good-band
+    threshold, dataset.py:272-277).
+
+    Returns dict of (G,) arrays:
+      obj_idx      nearest-object assignment
+      fc_label     ladder boundary friction (0 where not FC at the top)
+      label_valid  FC at the ladder top (mu=2.0) at all
+      eps_label    Ferrari-Canny at the label friction
+      score        fc_label + 0.01 * eps_label (the dataset score column)
+      fc_good      force-closure at mu_good (bool)
+      eps_good     Ferrari-Canny epsilon at mu_good (0 if not closed)
+    """
+    frames = np.asarray(frames, np.float32)
+    fc_list = FC_LIST_FULL if fc_list is None else np.asarray(fc_list)
+    g = len(frames)
+    out = {
+        "obj_idx": np.full(g, -1, np.int32),
+        "fc_label": np.zeros(g, np.float32),
+        "label_valid": np.zeros(g, bool),
+        "eps_label": np.zeros(g, np.float32),
+        "score": np.full(g, np.inf, np.float32),
+        "fc_good": np.zeros(g, bool),
+        "eps_good": np.zeros(g, np.float32),
+    }
+    if g == 0:
+        return out
+
+    configs = configs_from_frames(frames, gripper, points)
+
+    # nearest-object assignment by world-frame SDF bbox center
+    centers_w = []
+    for sdf, t in objects:
+        t = np.asarray(t, np.float32)
+        lo = np.asarray(sdf_lib.grid_to_world(
+            sdf, jnp.zeros((1, 3), jnp.float32)))[0]
+        hi = np.asarray(sdf_lib.grid_to_world(
+            sdf, jnp.asarray([[d - 1 for d in sdf.data.shape]],
+                             jnp.float32)))[0]
+        c_obj = 0.5 * (lo + hi)
+        centers_w.append(t[:3, :3] @ c_obj + t[:3, 3])
+    centers_w = np.stack(centers_w)
+    d2 = np.sum((configs[:, None, 0:3] - centers_w[None]) ** 2, axis=2)
+    out["obj_idx"] = np.argmin(d2, axis=1).astype(np.int32)
+
+    for j, (sdf, t) in enumerate(objects):
+        sel = np.where(out["obj_idx"] == j)[0]
+        if len(sel) == 0:
+            continue
+        t = np.asarray(t, np.float32)
+        r, tr = t[:3, :3], t[:3, 3]
+        cfg_o = configs[sel].copy()
+        cfg_o[:, 0:3] = (configs[sel, 0:3] - tr) @ r  # R^T (c - t)
+        cfg_o[:, 3:6] = configs[sel, 3:6] @ r
+        cfg_dev = jnp.asarray(cfg_o)
+
+        fc_dev = jnp.asarray(np.asarray(fc_list, np.float32))
+        label_fc, _, valid = friction_boundary_labels(
+            sdf, cfg_dev, fc_dev, num_samples=num_samples,
+            n_fc=len(fc_list))
+        # object-frame center of mass from the SDF interior (exact enough
+        # for the torque-free force-only metric, which ignores it; kept for
+        # the score-column parity with the labeler's call shape)
+        com = jnp.zeros(3, jnp.float32)
+        eps_label, _ = evaluate_ferrari_canny(
+            sdf, cfg_dev, com, label_fc, num_samples=num_samples)
+        fc_good, _ = evaluate_force_closure(
+            sdf, cfg_dev, mu_good, num_samples=num_samples)
+        eps_good, _ = evaluate_ferrari_canny(
+            sdf, cfg_dev, com, jnp.float32(mu_good),
+            num_samples=num_samples)
+
+        valid = np.asarray(valid)
+        label_fc = np.asarray(label_fc)
+        eps_label = np.asarray(eps_label)
+        out["fc_label"][sel] = np.where(valid, label_fc, 0.0)
+        out["label_valid"][sel] = valid
+        out["eps_label"][sel] = np.where(valid, eps_label, 0.0)
+        out["score"][sel] = np.where(
+            valid, label_fc + 0.01 * eps_label, np.inf)
+        out["fc_good"][sel] = np.asarray(fc_good).astype(bool)
+        out["eps_good"][sel] = np.where(out["fc_good"][sel],
+                                        np.asarray(eps_good), 0.0)
+    return out
+
+
+def summarize_ground_truth(gt: dict, ranked_order: np.ndarray,
+                           top_k: int = 5) -> dict:
+    """The validation statistics: classifier-top-k mean TRUE quality vs the
+    candidate-pool mean (VERDICT r4 done-criterion).
+
+    ranked_order: candidate indices ranked by classifier score descending
+    (e.g. positions of result["grasps"] rows within result["all_frames"]).
+    """
+    g = len(gt["eps_good"])
+    pool_eps = float(np.mean(gt["eps_good"])) if g else 0.0
+    pool_fc = float(np.mean(gt["fc_good"])) if g else 0.0
+    top = np.asarray(ranked_order)[:top_k]
+    top_eps = float(np.mean(gt["eps_good"][top])) if len(top) else None
+    top_fc = float(np.mean(gt["fc_good"][top])) if len(top) else None
+    return {
+        "n_candidates": int(g),
+        "n_ranked": int(len(ranked_order)),
+        "top_k": int(min(top_k, len(top))),
+        "pool_mean_eps_mu0.6": round(pool_eps, 5),
+        "pool_frac_fc_mu0.6": round(pool_fc, 4),
+        "topk_mean_eps_mu0.6": (round(top_eps, 5)
+                                if top_eps is not None else None),
+        "topk_frac_fc_mu0.6": (round(top_fc, 4)
+                               if top_fc is not None else None),
+        "pool_frac_fc_mu2.0": (float(np.mean(gt["label_valid"]))
+                               if g else 0.0),
+    }

@@ -362,7 +362,7 @@ def build_parity_dataset(root: str, *, grasps_per_class: int = 12,
     for i, name in enumerate(objects):
         build_sdf, _ = PARITY_OBJECTS[name]
         sdf = build_sdf(sdf_dim, sdf_res)
-        rows, counts = label_grasps_for_object(
+        rows, counts, _ = label_grasps_for_object(
             sdf, np.zeros(3, np.float32), gripper,
             jax.random.PRNGKey(seed + 17 * i), fc_list=FC_LIST_FULL,
             grasps_per_class=grasps_per_class, max_rounds=max_rounds)
@@ -444,6 +444,7 @@ def train_reference(root: str, *, epochs: int, batch_size: int = 64,
                     lr: float = 0.005, num_points: int = 750,
                     grasp_amount_train: int, grasp_amount_test: int,
                     thresh_good: float = 0.5, thresh_bad: float = 1.2,
+                    num_classes: int = 3,
                     seed: int = 0, num_workers: int = 2,
                     reference_root: str = "/root/reference"):
     """Train the reference path on the parity dataset.
@@ -452,7 +453,9 @@ def train_reference(root: str, *, epochs: int, batch_size: int = 64,
     Adam(lr) RE-CREATED every epoch (the optimizer-reset quirk,
     main_1v.py:60-62 — docs/QUIRKS.md), F.nll_loss on the model's
     log_softmax, None-dropping collate, per-epoch eval in eval() mode.
-    Returns {"train_loss": [..], "test_acc": [..]}.
+    ``num_classes=2`` switches to main_1v.py semantics: the reference's
+    PointGraspOneViewDataset (middle band dropped, dataset.py:448-452)
+    and a k=2 head. Returns {"train_loss": [..], "test_acc": [..]}.
     """
     import torch
     import torch.nn.functional as F
@@ -465,8 +468,11 @@ def train_reference(root: str, *, epochs: int, batch_size: int = 64,
         batch = [b for b in batch if b is not None]
         return torch.utils.data.dataloader.default_collate(batch)
 
+    ds_cls = (dataset_mod.PointGraspOneViewDataset if num_classes == 2
+              else dataset_mod.PointGraspOneViewMultiClassDataset)
+
     def loader(tag, amount):
-        ds = dataset_mod.PointGraspOneViewMultiClassDataset(
+        ds = ds_cls(
             grasp_points_num=num_points, grasp_amount_per_file=amount,
             thresh_good=thresh_good, thresh_bad=thresh_bad, tag=tag)
         return torch.utils.data.DataLoader(
@@ -477,7 +483,7 @@ def train_reference(root: str, *, epochs: int, batch_size: int = 64,
     test_loader = loader("test", grasp_amount_test)
 
     model = pointnet_mod.PointNetCls(num_points=num_points, input_chann=3,
-                                     k=3)
+                                     k=num_classes)
     history = {"train_loss": [], "test_acc": []}
     for epoch in range(epochs):
         optimizer = torch.optim.Adam(model.parameters(), lr=lr)  # the quirk
@@ -511,7 +517,7 @@ def train_reference(root: str, *, epochs: int, batch_size: int = 64,
 def train_ours(root: str, *, epochs: int, batch_size: int = 64,
                lr: float = 0.005, num_points: int = 750,
                cloud_points: int = 12000, thresh_good: float = 0.5,
-               thresh_bad: float = 1.2, seed: int = 0,
+               thresh_bad: float = 1.2, num_classes: int = 3, seed: int = 0,
                reset_optimizer_each_epoch: bool = True,
                steps_per_epoch: int | None = None,
                eval_batch: int = 64):
@@ -544,12 +550,12 @@ def train_ours(root: str, *, epochs: int, batch_size: int = 64,
         steps_per_epoch = max(1, int(round(n_train / batch_size)))
 
     batcher = OneViewBatcher(index, batch_size, cloud_points=cloud_points,
-                             num_classes=3, thresh_good=thresh_good,
+                             num_classes=num_classes, thresh_good=thresh_good,
                              thresh_bad=thresh_bad, seed=seed)
 
     tx = make_optimizer(lr, steps_per_epoch=steps_per_epoch)
     params, bn_state = init_pointnet_cls(jax.random.PRNGKey(seed),
-                                         input_chann=3, k=3)
+                                         input_chann=3, k=num_classes)
     state = init_train_state(params, bn_state, tx)
     train_step = make_fused_train_step(tx, num_points=num_points,
                                        min_point_limit=50)
@@ -565,7 +571,8 @@ def train_ours(root: str, *, epochs: int, batch_size: int = 64,
             test_clouds_files.append(files)
     test_rows = np.asarray(test_rows, np.float32)
     t_labels, t_weights = labels_from_scores(
-        test_rows[:, -2], test_rows[:, -1], thresh_good, thresh_bad, 3)
+        test_rows[:, -2], test_rows[:, -1], thresh_good, thresh_bad,
+        num_classes)
 
     rng = np.random.RandomState(seed + 1)  # eval view/subsample draws
 

@@ -106,6 +106,14 @@ class DetectorConfig:
     # seed-window frames (grasping/samplers.py gpg_sample_candidates
     # ``exact``); parity audits pin the reference's exact-KNN semantics
     sampler_exact: bool = False
+    # GPG seed selection bias: "none" = uniform over above-table points
+    # (the reference's online behavior, kinect2grasp.py:145-147);
+    # "height" = Gaussian-over-height Gumbel-top-k weighting toward
+    # mid-height (side-visible) surfaces — the only seeds the downward
+    # guard can ever accept (docs/QUIRKS.md), so the same seed budget
+    # yields several times more candidates on tabletop scenes
+    # (measured funnel: docs/FUNNEL.md)
+    seed_bias: str = "none"
 
     @classmethod
     def reference_parity(cls, **overrides) -> "DetectorConfig":
@@ -116,7 +124,7 @@ class DetectorConfig:
         for parity audits against the reference pipeline."""
         cfg = dict(lazy_normals=False, upload_dtype="float32",
                    normal_window=0, adaptive_bucket=False,
-                   sampler_exact=True)
+                   sampler_exact=True, seed_bias="none")
         cfg.update(overrides)
         return cls(**cfg)
 
@@ -130,7 +138,7 @@ class DetectorConfig:
         bucket predictor."""
         cfg = dict(lazy_normals=True, upload_dtype="float16",
                    normal_window=2048, adaptive_bucket=True,
-                   sampler_exact=False)
+                   sampler_exact=False, seed_bias="none")
         cfg.update(overrides)
         return cls(**cfg)
 
@@ -192,7 +200,7 @@ class GraspDetector:
         return buckets
 
     def process_frame(self, points: np.ndarray, cam_pos: np.ndarray,
-                      seed: int = 0):
+                      seed: int = 0, funnel: bool = False):
         """One frame: returns dict with candidates, scores, and the ranked
         good grasps as (5, 3) frames [bottom_center, approach, binormal,
         minor, bottom_center_modified]. ``points`` in the result is the
@@ -205,11 +213,19 @@ class GraspDetector:
         its own fetch before the pipeline runs — it rides the scorer's
         combined fetch instead. On this relay a fetch costs 10-30 ms
         regardless of size (docs/SCALING.md), about a third of the frame.
+
+        ``funnel=True`` adds a per-guard rejection table to the result
+        (``result["funnel"]``, keys = grasping.samplers.FUNNEL_STAGES):
+        how many (seed x theta) frames survive each GPG guard. Debug-only
+        — it disables the sampler's pre-guard block pruning, so the frame
+        costs more; the counts ride the frame's single fetch.
         """
-        return self.collect_frame(self.dispatch_frame(points, cam_pos, seed))
+        return self.collect_frame(
+            self.dispatch_frame(points, cam_pos, seed, funnel=funnel))
 
     def dispatch_frame(self, points: np.ndarray, cam_pos: np.ndarray,
-                       seed: int = 0, _force_bound: bool = False):
+                       seed: int = 0, _force_bound: bool = False,
+                       funnel: bool = False):
         """Dispatch-only half of ``process_frame``: enqueue the whole frame
         pipeline (downsample -> normals -> GPG -> crop+score) and return a
         pending handle with ZERO device->host transfers. Pair with
@@ -311,7 +327,10 @@ class GraspDetector:
             min_points_above_table=cfg.select_point_above_table,
             mesh=self.mesh, camera_pos=cam, bbox=(lo, hi),
             normal_k=cfg.normal_k,
-            normal_window=cfg.normal_window, exact=cfg.sampler_exact)
+            normal_window=cfg.normal_window, exact=cfg.sampler_exact,
+            seed_bias=cfg.seed_bias, debug=funnel)
+        if funnel:
+            cand, funnel_dev = cand
         # compact valid candidates ON DEVICE (stable: original order) into a
         # FIXED num_grasps buffer (varying lengths would recompile the jitted
         # scorer every frame) with a validity mask; fetching all ~2850 GPG
@@ -327,10 +346,13 @@ class GraspDetector:
         # the padded cloud keeps the scorer's jit shape per-bucket stable.
         # ONE device->host transfer for scores + frames + valid count +
         # voxel count (the frame's only fetch) — deferred to collect_frame.
+        extra = (frames, n_valid_dev, count)
+        if funnel:
+            extra = extra + (funnel_dev,)
         pending = self.scorer.dispatch_candidates(
             pts_dev, frames, hand_depth=self.gripper.hand_depth,
             width=self.gripper.open_width, seed=seed + 1,
-            valid=frame_valid, extra_fetch=(frames, n_valid_dev, count))
+            valid=frame_valid, extra_fetch=extra)
         return pending, pts_dev, bucket, points_orig, cam_pos, seed
 
     def collect_frame(self, dispatched):
@@ -341,12 +363,17 @@ class GraspDetector:
         raw-bound bucket (bit-identical to adaptive_bucket=False)."""
         cfg = self.cfg
         pending, pts_dev, bucket, raw_pts, cam_pos, seed = dispatched
-        result, (frames_np, n_valid, n_real) = self.scorer.collect(pending)
+        result, extras = self.scorer.collect(pending)
+        frames_np, n_valid, n_real = extras[:3]
+        funnel = ({k: (int(v) if np.ndim(v) == 0 else np.asarray(v))
+                   for k, v in extras[3].items()}
+                  if len(extras) > 3 else None)
         n_real = int(n_real)
         self._last_voxel_count = n_real
         if n_real > bucket:  # adaptive bucket too small for this frame
             redo = self.dispatch_frame(raw_pts, cam_pos, seed=seed,
-                                       _force_bound=True)
+                                       _force_bound=True,
+                                       funnel=funnel is not None)
             return self.collect_frame(redo)
         pts = pts_dev[:n_real]  # device view of the real cloud
         keep = min(cfg.num_grasps, int(n_valid))
@@ -355,7 +382,7 @@ class GraspDetector:
         # the filter also covers keep == 0 (no early return needed)
         order = result["good_indices"]
         order = order[order < keep]
-        return {
+        out = {
             "grasps": frames_np[order],
             "scores": result["score"][order],
             "pred": result["pred"][:keep],
@@ -363,7 +390,11 @@ class GraspDetector:
             "all_scores": result["score"][:keep],
             "counts": result["counts"][:keep],
             "points": pts,
+            "n_valid": int(n_valid),
         }
+        if funnel is not None:
+            out["funnel"] = funnel
+        return out
 
     def process_frames(self, frames_iter, cam_pos, start_seed: int = 0):
         """Pipelined frame stream: yields ``process_frame`` results for each

@@ -81,6 +81,45 @@ class TestGraspDetector:
         if len(out["scores"]) > 1:
             assert (np.diff(out["scores"]) <= 1e-7).all()
 
+    def test_process_frame_funnel(self):
+        """funnel=True: result carries the per-guard rejection table, the
+        counts are monotone, the tail equals the sampler's valid total, and
+        the frame's candidates match the funnel-less run exactly."""
+        from pointnetgpd_tpu.grasping.gripper import Gripper
+        from pointnetgpd_tpu.grasping.samplers import FUNNEL_STAGES
+        from pointnetgpd_tpu.inference.scorer import GraspScorer
+        from pointnetgpd_tpu.models.pointnet import init_pointnet_cls
+        from pointnetgpd_tpu.robot.node import DetectorConfig, GraspDetector
+
+        rng = np.random.RandomState(0)
+        n = 700
+        top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+        front = rng.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
+        side = rng.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+        pts = np.concatenate([top, front, side]).astype(np.float32)
+        pts[:, :2] -= 0.03
+
+        params, state = init_pointnet_cls(jax.random.PRNGKey(0),
+                                          input_chann=3, k=3)
+        scorer = GraspScorer(params=params, state=state, k=3, num_points=256,
+                             pad_to=32)
+        det = GraspDetector(
+            scorer, Gripper(),
+            DetectorConfig(num_grasps=20, max_num_samples=64,
+                           input_points_num=256, repeat=1,
+                           minimal_points_send_to_point_net=10))
+        cam = np.array([0.5, 0.5, 1.0], np.float32)
+        base = det.process_frame(pts, cam, seed=0)
+        out = det.process_frame(pts, cam, seed=0, funnel=True)
+        f = out["funnel"]
+        counts = [f[k] for k in FUNNEL_STAGES]
+        assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+        assert counts[-1] == out["n_valid"]
+        np.testing.assert_array_equal(base["pred"], out["pred"])
+        np.testing.assert_allclose(base["all_frames"], out["all_frames"],
+                                   atol=1e-6)
+        assert "funnel" not in base
+
     def test_fp16_upload_matches_fp32(self):
         """upload_dtype='float16' (half the relay bytes) must agree with
         the fp32 upload: quantization is half an fp16 ULP, ~0.25-0.5 mm at

@@ -298,6 +298,72 @@ class TestGpgSampler:
             np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
 
 
+def _box_scene(n=500, seed=0):
+    """Camera-visible box-on-table scene (top + two sides) + normals."""
+    rng = np.random.RandomState(seed)
+    top = rng.rand(n, 3) * [0.06, 0.06, 0] + [0, 0, 0.08]
+    front = rng.rand(n, 3) * [0.06, 0, 0.06] + [0, 0, 0.02]
+    side = rng.rand(n, 3) * [0, 0.06, 0.06] + [0.06, 0, 0.02]
+    pts = np.concatenate([top, front, side]).astype(np.float32)
+    pts[:, :2] -= 0.03
+    normals = np.concatenate([
+        np.tile([0, 0, 1.0], (n, 1)),
+        np.tile([0, -1.0, 0], (n, 1)),
+        np.tile([1.0, 0, 0], (n, 1)),
+    ]).astype(np.float32)
+    return pts, normals
+
+
+class TestGpgFunnel:
+    def test_funnel_counts_monotone_and_match_valid(self):
+        """debug=True returns the per-guard funnel: counts must be
+        monotonically non-increasing in guard order, start at the frame
+        total, end exactly at the number of valid candidates, and the
+        candidates themselves must be IDENTICAL to the debug=False run
+        (the pre-guard block pruning it disables is result-neutral)."""
+        from pointnetgpd_tpu.grasping.samplers import FUNNEL_STAGES
+
+        pts, normals = _box_scene()
+        g = Gripper()
+        base = gpg_sample_candidates(
+            jnp.asarray(pts), jnp.asarray(normals), jax.random.PRNGKey(0),
+            g, num_seeds=24, approach_steps=25)
+        out, funnel = gpg_sample_candidates(
+            jnp.asarray(pts), jnp.asarray(normals), jax.random.PRNGKey(0),
+            g, num_seeds=24, approach_steps=25, debug=True)
+        np.testing.assert_array_equal(np.asarray(base.valid),
+                                      np.asarray(out.valid))
+        np.testing.assert_allclose(np.asarray(base.frames),
+                                   np.asarray(out.frames), atol=1e-6)
+        counts = [int(funnel[k]) for k in FUNNEL_STAGES]
+        assert counts[0] == out.valid.shape[0]
+        assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+        assert counts[-1] == int(np.asarray(out.valid).sum())
+
+    def test_height_bias_prefers_mid_height_seeds(self):
+        """seed_bias='height' concentrates the seed draw at mid heights
+        (where side-visible surfaces live): the selected seeds' mean
+        distance from the cloud's mid height must be clearly smaller than
+        the uniform draw's, and top-face seeds (which the downward guard
+        can never accept) must be rarer."""
+        pts, normals = _box_scene(n=900)  # top face has 1/3 of the points
+        g = Gripper()
+
+        def heights(bias, key):
+            _, funnel = gpg_sample_candidates(
+                jnp.asarray(pts), jnp.asarray(normals),
+                jax.random.PRNGKey(key), g, num_seeds=32,
+                approach_steps=10, seed_bias=bias, debug=True)
+            return np.asarray(funnel["seed_heights"])
+
+        hb = np.concatenate([heights("height", k) for k in range(4)])
+        hu = np.concatenate([heights("none", k) for k in range(4)])
+        mid = 0.5 * (pts[:, 2].min() + pts[:, 2].max())
+        assert np.mean(np.abs(hb - mid)) < 0.8 * np.mean(np.abs(hu - mid))
+        # top face sits at z = 0.08: biased draws avoid it
+        assert (hb > 0.079).mean() < (hu > 0.079).mean()
+
+
 class TestGpgPaddedSeeds:
     def test_tiny_cloud_pad_slots_invalid(self):
         """Clouds smaller than num_seeds edge-pad the seed index buffer;
