@@ -418,8 +418,22 @@ def bench_frame_pipeline():
     return serial_ms, piped_ms
 
 
+# Driver-captured r4 baseline (BENCH_r04.json): the same-day measured torch
+# rate moved 4x across relay days with host load (86.1 driver r2, 62.8
+# driver r4, 21.9-35.6 builder re-runs — VERDICT r4 weak #4), so extras
+# also report the ratio against this pinned anchor.
+CANONICAL_BASELINE_R4 = 62.8
+BASELINE_THREADS = 8       # pinned: os.cpu_count() varies across relay hosts
+BASELINE_REPEATS = 3       # median-of-k repetitions
+
+
 def bench_reference_torch():
-    """Reference path: host numpy crop + per-candidate batch-1 torch calls."""
+    """Reference path: host numpy crop + per-candidate batch-1 torch calls.
+
+    Methodology pinned for cross-day stability (VERDICT r4): fixed torch
+    thread count, median of BASELINE_REPEATS repetitions, and the host
+    1-minute load average recorded alongside (extras
+    "baseline_host_load_1min") so a contended-host capture is visible."""
     if not os.path.isdir(REF_ROOT):
         return None
     sys.path.insert(0, REF_ROOT)
@@ -427,7 +441,7 @@ def bench_reference_torch():
 
     from model.pointnet import PointNetCls  # reference definition (oracle)
 
-    torch.set_num_threads(os.cpu_count() or 8)
+    torch.set_num_threads(BASELINE_THREADS)
     model = PointNetCls(num_points=NUM_POINTS, input_chann=3, k=3)
     model.eval()
 
@@ -437,25 +451,39 @@ def bench_reference_torch():
     centers[:, 0] -= 0.03
 
     n_measured = 48  # candidates actually timed (batch-1 calls are slow)
-    t0 = time.perf_counter()
-    with torch.no_grad():
-        for i in range(n_measured):
-            # crop (kinect2grasp.py:178-235 semantics)
-            rot = np.eye(3, dtype=np.float32)
-            pc_t = (pc - centers[i]) @ rot.T
-            w = 0.08
-            mask = ((pc_t[:, 0] > 0) & (pc_t[:, 0] < 0.06)
-                    & (np.abs(pc_t[:, 1]) < w / 2) & (np.abs(pc_t[:, 2]) < w / 4))
-            crop = pc_t[mask]
-            if len(crop) < 10:
-                continue
-            idx = np.random.choice(len(crop), NUM_POINTS, replace=len(crop) < NUM_POINTS)
-            local = crop[idx]
-            # batch-1 scoring (main_test.py:59-69)
-            x = torch.from_numpy(local.T[None])
-            logp, _ = model(x)
-            logp.softmax(1).numpy()
-    dt = (time.perf_counter() - t0) / n_measured
+
+    def one_rep():
+        t0 = time.perf_counter()
+        with torch.no_grad():
+            for i in range(n_measured):
+                # crop (kinect2grasp.py:178-235 semantics)
+                rot = np.eye(3, dtype=np.float32)
+                pc_t = (pc - centers[i]) @ rot.T
+                w = 0.08
+                mask = ((pc_t[:, 0] > 0) & (pc_t[:, 0] < 0.06)
+                        & (np.abs(pc_t[:, 1]) < w / 2)
+                        & (np.abs(pc_t[:, 2]) < w / 4))
+                crop = pc_t[mask]
+                if len(crop) < 10:
+                    continue
+                idx = np.random.choice(len(crop), NUM_POINTS,
+                                       replace=len(crop) < NUM_POINTS)
+                local = crop[idx]
+                # batch-1 scoring (main_test.py:59-69)
+                x = torch.from_numpy(local.T[None])
+                logp, _ = model(x)
+                logp.softmax(1).numpy()
+        return (time.perf_counter() - t0) / n_measured
+
+    dts = sorted(one_rep() for _ in range(BASELINE_REPEATS))
+    dt = dts[len(dts) // 2]  # median
+    try:
+        RESULT["extras"]["baseline_host_load_1min"] = round(
+            os.getloadavg()[0], 1)
+    except OSError:
+        pass
+    RESULT["extras"]["baseline_method"] = (
+        f"median-of-{BASELINE_REPEATS}, {BASELINE_THREADS} torch threads")
     return 1.0 / dt
 
 
@@ -474,6 +502,11 @@ def main():
             RESULT["extras"]["reference_torch_cpu_candidates_per_sec"] = \
                 round(baseline, 1)
         bench_tpu(baseline)
+        if RESULT["value"]:
+            # pinned-anchor ratio: immune to day-to-day relay-host load
+            # (the same-day vs_baseline moved 4x across rounds; VERDICT r4)
+            RESULT["extras"]["vs_canonical_r4_baseline"] = round(
+                RESULT["value"] / CANONICAL_BASELINE_R4, 2)
         try:
             vox = bench_voxelizer_extra()
         except Exception:

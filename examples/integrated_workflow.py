@@ -355,6 +355,11 @@ def main(argv=None):
     p.add_argument("--num-seeds", type=int, default=400,
                    help="GPG seed budget for the detect stage")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gpd", action="store_true",
+                   help="also train+eval the GPD projection-CNN baseline"
+                   " (--variant 1v_gpd) on the same dataset — the"
+                   " main_1v_gpd.py path end to end (stretch, VERDICT r4)")
+    p.add_argument("--gpd-epochs", type=int, default=10)
     p.add_argument("--out-md", default="docs/WORKFLOW_20OBJ.md")
     p.add_argument("--fresh", action="store_true",
                    help="wipe --root before running")
@@ -429,6 +434,26 @@ def main(argv=None):
          "--batch-size", str(args.batch_size), "--eval-steps", "20",
          "--data-root", root, "--model-path", model_path,
          "--log-dir", os.path.join(root, "log")], root, log))
+    if args.gpd:
+        # GPD projection-CNN baseline end to end through the same CLIs
+        # (main_1v_gpd.py:50-115): 12-chann projection features are the
+        # fullv_gpd variant; 1v_gpd trains the 3-channel one-view path
+        gpd_path = os.path.join(root, "learned_models_gpd")
+        stage("5b_train_1v_gpd", lambda: run_cli(
+            ["pointnetgpd_tpu.cli.train", "--variant", "1v_gpd", "--mode",
+             "train", "--tag", "wf20gpd", "--epoch", str(args.gpd_epochs),
+             "--batch-size", str(args.batch_size), "--steps-per-epoch",
+             str(args.steps_per_epoch), "--eval-steps", "20",
+             "--data-root", root, "--model-path", gpd_path,
+             "--log-dir", os.path.join(root, "log")], root, log))
+        stage("6b_eval_1v_gpd", lambda: run_cli(
+            ["pointnetgpd_tpu.cli.train", "--variant", "1v_gpd", "--mode",
+             "test", "--tag", "wf20gpd",
+             "--load-epoch", str(args.gpd_epochs - 1),
+             "--batch-size", str(args.batch_size), "--eval-steps", "20",
+             "--data-root", root, "--model-path", gpd_path,
+             "--log-dir", os.path.join(root, "log")], root, log))
+
     # standalone inference CLI on one generated view crop. The train CLI
     # writes step_N checkpoints directly under --model-path (the tag names
     # the log stream, not a subdirectory — training/loop.py:238); cli.infer
@@ -455,28 +480,37 @@ def main(argv=None):
 
     total_rows = sum(a + b for a, b in n_rows.values())
     # parse the log / test split ONCE and reuse for both outputs (ADVICE r4)
-    eval_acc = _parse_eval_acc(log)
+    eval_acc = _parse_eval_acc(log, variant=args.variant)
+    gpd_acc = _parse_eval_acc(log, variant="1v_gpd") if args.gpd else None
     test_hist = _test_label_hist(root, vcfg)
     yield_summary = _load_yield_summary(out_dir)
     report(args, names, n_rows, total_rows, times, det, log,
            eval_acc=eval_acc, test_hist=test_hist,
-           yield_summary=yield_summary)
+           yield_summary=yield_summary, gpd_acc=gpd_acc)
     print(json.dumps({"times_s": {k: round(v, 1) for k, v in times.items()},
                       "detect": det, "total_rows": total_rows,
-                      "eval_acc": eval_acc,
+                      "eval_acc": eval_acc, "gpd_acc": gpd_acc,
                       "test_hist": test_hist}))
     return
 
 
-def _parse_eval_acc(log_path):
+def _parse_eval_acc(log_path, variant=None):
     """Last `Test done, acc=...` line the eval stage appended to the log
-    (cli.train --mode test prints the reference's format, main_1v.py:108).
-    One malformed line must not mask a later valid one (ADVICE r4), so the
-    float parse is guarded per line."""
+    (cli.train --mode test prints the reference's format, main_1v.py:108),
+    scoped to the given --variant's eval stage when several variants eval
+    into the same log (e.g. --gpd). One malformed line must not mask a
+    later valid one (ADVICE r4), so the float parse is guarded per line."""
     acc = None
+    current = None  # variant of the most recent cli.train invocation
     try:
         for ln in open(log_path, errors="replace"):
+            if ln.startswith("$ ") and "--variant" in ln:
+                toks = ln.split()
+                current = toks[toks.index("--variant") + 1] \
+                    if "--variant" in toks else None
             if "Test done, acc=" in ln:
+                if variant is not None and current != variant:
+                    continue
                 try:
                     acc = float(ln.split("acc=")[1].split(",")[0])
                 except ValueError:
@@ -517,7 +551,8 @@ def _load_yield_summary(out_dir):
 
 
 def report(args, names, n_rows, total_rows, times, det, log,
-           eval_acc=None, test_hist=None, yield_summary=None):
+           eval_acc=None, test_hist=None, yield_summary=None,
+           gpd_acc=None):
     vcfg = VARIANT_CFG[args.variant]
     k = vcfg["num_classes"]
     ladder_note = ("2-class main_1v semantics, thresh .6/.6"
@@ -554,6 +589,11 @@ def report(args, names, n_rows, total_rows, times, det, log,
             f" majority prior {prior:.3f}** ({margin:+.1f} sigma at"
             f" {n_test} weighted test rows; label histogram {test_hist},"
             f" {args.variant} thresholds)")
+    if gpd_acc is not None:
+        lines.append(
+            f"- GPD projection-CNN baseline (variant 1v_gpd,"
+            f" {args.gpd_epochs} epochs, main_1v_gpd.py path): test acc"
+            f" {gpd_acc:.3f} on the same split")
     if yield_summary:
         ys = yield_summary
         lines += [

@@ -26,11 +26,32 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import sdf as sdf_lib
 
 
 SAMPLES_PER_GRID = 2.0  # Grasp.samples_per_grid (grasp.py:86)
+
+
+def adaptive_num_samples(sdf, width_world, minimum: int = 40,
+                         multiple: int = 8, cap: int = 512) -> int:
+    """Resolution-adaptive line-of-action sample count, the reference's
+    ``num_samples = int(samples_per_grid * grasp_width_grid / 2)``
+    (close_fingers, grasp.py:464-466).
+
+    A FIXED sample count silently under-samples fine grids: at the
+    prepare_objects 100-cube resolution a 40-sample line of action steps
+    ~3.6 grid cells per sample while ``find_contact`` only accepts samples
+    within the surface band (res * sqrt(2) / 2), so contacts are simply
+    never seen and the labeling yield collapses to zero on small objects
+    (the round-4 20-object run's silent 357/1200-row shortfall). Host-side
+    helper — call BEFORE the jitted sampler/labeler; rounded up to
+    ``multiple`` so nearby resolutions share one compiled program."""
+    width_grid = float(width_world) / float(sdf.resolution)
+    n = int(np.ceil(SAMPLES_PER_GRID * width_grid / 2.0))
+    n = max(minimum, -(-n // multiple) * multiple)
+    return min(n, cap)
 
 
 # ---------------------------------------------------------------------------

@@ -353,37 +353,41 @@ def _six_subsets(m: int) -> np.ndarray:
 
 def _solve_ones_batched(p):
     """Solve P n = 1 for batched (T, 6, 6) systems via unrolled
-    Gauss-Jordan with partial pivoting, in pure elementwise/where ops.
+    Gauss-Jordan with partial pivoting, in pure elementwise/where ops —
+    structure-of-arrays layout: every operand is a (T,) vector, so the
+    SOLVE index fills the TPU lane dimension.
 
     jnp.linalg.solve's batched LU lowering is the whole cost of the facet
     enumeration on TPU (measured ~245 ms per 24-row grasp = 134k systems);
-    six unrolled elimination steps over a (T, 6, 7) augmented tensor are
-    plain VPU arithmetic. Singular systems produce non-finite rows, which
-    the caller's isfinite mask rejects (planes through the origin cannot
-    be facets of an origin-interior hull).
+    the first unrolled rewrite kept the (T, 6, 7) augmented tensor, whose
+    7-wide minor axis pads to 128 lanes — an 18x physical blowup the VPU
+    then streams (measured 2.3 us per 500-FLOP solve, round 5). Forty-two
+    (T,) registers instead make each of the ~500 unrolled ops a fully
+    packed vector op. Singular systems produce non-finite rows, which the
+    caller's isfinite mask rejects (planes through the origin cannot be
+    facets of an origin-interior hull). Returns (T, 6) solutions.
     """
     t, d, _ = p.shape
-    a = jnp.concatenate([p, jnp.ones((t, d, 1), p.dtype)], axis=2)
-    rows = jnp.arange(d)
+    soa = jnp.transpose(p, (1, 2, 0))                     # (row, col, T)
+    ones = jnp.ones((t,), p.dtype)
+    rows = [[soa[i, j] for j in range(d)] + [ones] for i in range(d)]
     for k in range(d):
-        col = jnp.abs(a[:, :, k])
-        col = jnp.where(rows[None, :] < k, -1.0, col)
-        piv = jnp.argmax(col, axis=1)                       # (T,)
-        prow = jnp.take_along_axis(
-            a, piv[:, None, None].astype(jnp.int32)
-            * jnp.ones((1, 1, d + 1), jnp.int32), axis=1)[:, 0]   # (T, 7)
-        krow = a[:, k]
-        onehot_p = (rows[None, :] == piv[:, None])[..., None]
-        onehot_k = (rows[None, :] == k)[..., None]
-        a = jnp.where(onehot_p, krow[:, None, :], a)        # swap k <-> piv
-        a = jnp.where(onehot_k, prow[:, None, :], a)
-        pivval = prow[:, k:k + 1]
-        f = a[:, :, k] / jnp.where(jnp.abs(pivval) < 1e-30,
-                                   jnp.inf, pivval)
-        f = jnp.where(rows[None, :] == k, 0.0, f)           # keep row k
-        a = a - f[:, :, None] * a[:, k:k + 1, :]
-    diag = a[:, rows, rows]
-    return a[:, :, d] / diag
+        # partial pivot: compare-swap the max |column k| entry into row k
+        for i in range(k + 1, d):
+            c = jnp.abs(rows[i][k]) > jnp.abs(rows[k][k])
+            for j in range(k, d + 1):
+                rk, ri = rows[k][j], rows[i][j]
+                rows[k][j] = jnp.where(c, ri, rk)
+                rows[i][j] = jnp.where(c, rk, ri)
+        piv_safe = jnp.where(jnp.abs(rows[k][k]) < 1e-30, jnp.inf,
+                             rows[k][k])
+        for i in range(d):
+            if i == k:
+                continue
+            f = rows[i][k] / piv_safe
+            for j in range(k, d + 1):
+                rows[i][j] = rows[i][j] - f * rows[k][j]
+    return jnp.stack([rows[i][d] / rows[i][i] for i in range(d)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

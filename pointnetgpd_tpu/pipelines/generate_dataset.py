@@ -55,7 +55,7 @@ def label_grasps_for_object(
     max_rounds: int | None = None,
     patience: int = 12,
     friction_coef_sampling: float = 2.0,
-    num_samples_loa: int = 40,
+    num_samples_loa: int | None = None,
 ) -> LabelResult:
     """Sample + label grasps until every friction class has enough examples
     (the reference's while-loop, generate-dataset-canny.py:109-134; here the
@@ -76,6 +76,13 @@ def label_grasps_for_object(
     fc_dev = jnp.asarray(fc_list.astype(np.float32))
     counts = np.zeros(n_fc, dtype=int)
     rows = []
+    if num_samples_loa is None:
+        # resolution-adaptive line-of-action density (the reference's
+        # samples_per_grid scaling, grasp.py:464-466): fixed 40 silently
+        # finds NO contacts on fine prepare_objects grids (docs/QUIRKS.md)
+        from ..grasping.grasp import adaptive_num_samples
+
+        num_samples_loa = adaptive_num_samples(sdf, gripper.max_width)
     if max_rounds is None:
         max_rounds = 40 * max(1, -(-grasps_per_class // 20))
     rounds = accepted_total = 0

@@ -73,7 +73,7 @@ def configs_from_frames(frames: np.ndarray, gripper: Gripper,
 def ground_truth_quality(frames: np.ndarray, objects, gripper: Gripper,
                          points: np.ndarray | None = None,
                          fc_list=None, mu_good: float = 0.6,
-                         num_samples: int = 40):
+                         num_samples: int | None = None):
     """Exact per-candidate ground truth against the scene objects' SDFs.
 
     objects: list of (SdfGrid, transform(4, 4)) — the object's SDF in its
@@ -132,6 +132,12 @@ def ground_truth_quality(frames: np.ndarray, objects, gripper: Gripper,
         sel = np.where(out["obj_idx"] == j)[0]
         if len(sel) == 0:
             continue
+        # resolution-adaptive line-of-action density (grasp.py:464-466)
+        ns = num_samples
+        if ns is None:
+            from ..grasping.grasp import adaptive_num_samples
+
+            ns = adaptive_num_samples(sdf, gripper.open_width)
         t = np.asarray(t, np.float32)
         r, tr = t[:3, :3], t[:3, 3]
         cfg_o = configs[sel].copy()
@@ -141,19 +147,19 @@ def ground_truth_quality(frames: np.ndarray, objects, gripper: Gripper,
 
         fc_dev = jnp.asarray(np.asarray(fc_list, np.float32))
         label_fc, _, valid = friction_boundary_labels(
-            sdf, cfg_dev, fc_dev, num_samples=num_samples,
+            sdf, cfg_dev, fc_dev, num_samples=ns,
             n_fc=len(fc_list))
         # object-frame center of mass from the SDF interior (exact enough
         # for the torque-free force-only metric, which ignores it; kept for
         # the score-column parity with the labeler's call shape)
         com = jnp.zeros(3, jnp.float32)
         eps_label, _ = evaluate_ferrari_canny(
-            sdf, cfg_dev, com, label_fc, num_samples=num_samples)
+            sdf, cfg_dev, com, label_fc, num_samples=ns)
         fc_good, _ = evaluate_force_closure(
-            sdf, cfg_dev, mu_good, num_samples=num_samples)
+            sdf, cfg_dev, mu_good, num_samples=ns)
         eps_good, _ = evaluate_ferrari_canny(
             sdf, cfg_dev, com, jnp.float32(mu_good),
-            num_samples=num_samples)
+            num_samples=ns)
 
         valid = np.asarray(valid)
         label_fc = np.asarray(label_fc)

@@ -364,6 +364,51 @@ class TestGpgFunnel:
         assert (hb > 0.079).mean() < (hu > 0.079).mean()
 
 
+class TestAdaptiveLoaSampling:
+    def test_fine_grid_labeling_yields_rows(self):
+        """Resolution regression (round-5 root cause of the r4 yield
+        collapse): on a FINE grid (prepare_objects' 100-cube scale) a fixed
+        40-sample line of action steps several cells per sample and
+        find_contact never lands in the surface band — zero rows. The
+        adaptive count (reference close_fingers grasp.py:464-466) must
+        restore the yield."""
+        from pointnetgpd_tpu.grasping.grasp import adaptive_num_samples
+        from pointnetgpd_tpu.pipelines.generate_dataset import (
+            label_grasps_for_object,
+        )
+        from pointnetgpd_tpu.pipelines.parity import (
+            _box_sdf, _sdf_grid_from_fn,
+        )
+
+        sdf = _sdf_grid_from_fn(_box_sdf((0.024, 0.030, 0.020)), 0.03,
+                                100, 0.00062)
+        g = Gripper()
+        ns = adaptive_num_samples(sdf, g.max_width)
+        assert ns > 100  # ~2 samples per crossed grid cell
+        rows, counts, stats = label_grasps_for_object(
+            sdf, np.zeros(3, np.float32), g, jax.random.PRNGKey(0),
+            grasps_per_class=2, max_rounds=2, batch_attempts=128)
+        assert len(rows) > 0, stats
+        # and the old fixed count indeed finds nothing (the regression)
+        rows40, _, _ = label_grasps_for_object(
+            sdf, np.zeros(3, np.float32), g, jax.random.PRNGKey(0),
+            grasps_per_class=2, max_rounds=2, batch_attempts=128,
+            num_samples_loa=40)
+        assert len(rows40) < len(rows)
+
+    def test_adaptive_count_matches_reference_formula(self):
+        from pointnetgpd_tpu.grasping.grasp import adaptive_num_samples
+        from pointnetgpd_tpu.pipelines.parity import (
+            _box_sdf, _sdf_grid_from_fn,
+        )
+
+        sdf = _sdf_grid_from_fn(_box_sdf((0.02,) * 3), 0.03, 56, 0.0022)
+        # samples_per_grid * width_grid / 2 = 2 * (0.085/0.0022) / 2 ~ 39
+        # -> floor at the legacy 40
+        assert adaptive_num_samples(sdf, 0.085) == 40
+        assert adaptive_num_samples(sdf, 0.085, minimum=8) == 40  # 39 -> 40
+
+
 class TestGpgPaddedSeeds:
     def test_tiny_cloud_pad_slots_invalid(self):
         """Clouds smaller than num_seeds edge-pad the seed index buffer;
