@@ -35,7 +35,7 @@ SAMPLES_PER_GRID = 2.0  # Grasp.samples_per_grid (grasp.py:86)
 
 
 def adaptive_num_samples(sdf, width_world, minimum: int = 40,
-                         multiple: int = 8, cap: int = 512) -> int:
+                         multiple: int = 32, cap: int = 512) -> int:
     """Resolution-adaptive line-of-action sample count, the reference's
     ``num_samples = int(samples_per_grid * grasp_width_grid / 2)``
     (close_fingers, grasp.py:464-466).
@@ -47,11 +47,14 @@ def adaptive_num_samples(sdf, width_world, minimum: int = 40,
     never seen and the labeling yield collapses to zero on small objects
     (the round-4 20-object run's silent 357/1200-row shortfall). Host-side
     helper — call BEFORE the jitted sampler/labeler; rounded up to
-    ``multiple`` so nearby resolutions share one compiled program."""
+    ``multiple`` (coarse on purpose: each distinct count is a fresh jit
+    of the whole sampler+labeler program set) so nearby resolutions share
+    one compiled program."""
     width_grid = float(width_world) / float(sdf.resolution)
     n = int(np.ceil(SAMPLES_PER_GRID * width_grid / 2.0))
-    n = max(minimum, -(-n // multiple) * multiple)
-    return min(n, cap)
+    if n <= minimum:  # coarse grids keep the legacy fixed count exactly
+        return minimum
+    return min(-(-n // multiple) * multiple, cap)
 
 
 # ---------------------------------------------------------------------------

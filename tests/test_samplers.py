@@ -404,9 +404,11 @@ class TestAdaptiveLoaSampling:
 
         sdf = _sdf_grid_from_fn(_box_sdf((0.02,) * 3), 0.03, 56, 0.0022)
         # samples_per_grid * width_grid / 2 = 2 * (0.085/0.0022) / 2 ~ 39
-        # -> floor at the legacy 40
+        # <= the legacy minimum -> exactly 40 (coarse grids unchanged)
         assert adaptive_num_samples(sdf, 0.085) == 40
-        assert adaptive_num_samples(sdf, 0.085, minimum=8) == 40  # 39 -> 40
+        # above the minimum: rounded up to the compile-bucket multiple
+        assert adaptive_num_samples(sdf, 0.085, minimum=8) == 64
+        assert adaptive_num_samples(sdf, 0.3, cap=128) == 128
 
 
 class TestGpgPaddedSeeds:
