@@ -279,8 +279,16 @@ def ferrari_canny_l1_force_only(g3,
     n_norm = jnp.linalg.norm(n, axis=1)
     nondegenerate = n_norm > 1e-12 * jnp.maximum(jnp.max(jnp.abs(g3)), 1e-30)
 
-    # signed distances of all points to each plane
-    offs = jnp.einsum("td,md->tm", n, g3) - jnp.einsum("td,td->t", n, a)[:, None]
+    # signed distances of all points to each plane. Full precision is NOT
+    # optional: default-precision bf16 MXU passes carry ~1e-3 relative
+    # error, far above the supporting tolerance — on TPU they silently
+    # misclassify facets and corrupt epsilon (the same bug class fixed for
+    # the 6-D path in round 4; caught here by a TPU-vs-CPU ground-truth
+    # A/B in round 5: eps 1.0 vs the correct 0.554).
+    offs = (jnp.einsum("td,md->tm", n, g3,
+                       precision=jax.lax.Precision.HIGHEST)
+            - jnp.einsum("td,td->t", n, a,
+                         precision=jax.lax.Precision.HIGHEST)[:, None])
     tol = 1e-10 * jnp.maximum(n_norm, 1e-30)[:, None]
     supporting = (jnp.all(offs <= tol, axis=1) | jnp.all(offs >= -tol, axis=1))
     supporting = supporting & nondegenerate
@@ -288,7 +296,9 @@ def ferrari_canny_l1_force_only(g3,
     # origin strictly inside: for every supporting plane, origin on the inner
     # side with positive margin. Inner side sign = side where the other
     # points lie; origin offset relative to the plane:
-    origin_off = -jnp.einsum("td,td->t", n, a) / jnp.maximum(n_norm, 1e-30)
+    origin_off = -jnp.einsum("td,td->t", n, a,
+                             precision=jax.lax.Precision.HIGHEST) \
+        / jnp.maximum(n_norm, 1e-30)
     side = jnp.where(jnp.sum(offs, axis=1) >= 0, 1.0, -1.0)  # sign of the point mass
     margin = side * origin_off  # > 0 when origin on the same side as the hull
     interior_margin = jnp.min(jnp.where(supporting, margin, jnp.inf))

@@ -107,6 +107,11 @@ def ground_truth_quality(frames: np.ndarray, objects, gripper: Gripper,
         "score": np.full(g, np.inf, np.float32),
         "fc_good": np.zeros(g, bool),
         "eps_good": np.zeros(g, np.float32),
+        # self-diagnosis: SDF value at each configuration center in its
+        # assigned object's frame — a center outside the body (> 0) means
+        # the frame->config mapping failed for that candidate, not that
+        # the grasp is bad
+        "center_sdf": np.full(g, np.inf, np.float32),
     }
     if g == 0:
         return out
@@ -144,6 +149,9 @@ def ground_truth_quality(frames: np.ndarray, objects, gripper: Gripper,
         cfg_o[:, 0:3] = (configs[sel, 0:3] - tr) @ r  # R^T (c - t)
         cfg_o[:, 3:6] = configs[sel, 3:6] @ r
         cfg_dev = jnp.asarray(cfg_o)
+
+        out["center_sdf"][sel] = np.asarray(sdf_lib.signed_distance(
+            sdf, sdf_lib.world_to_grid(sdf, cfg_dev[:, 0:3])))
 
         fc_dev = jnp.asarray(np.asarray(fc_list, np.float32))
         label_fc, _, valid = friction_boundary_labels(
@@ -193,6 +201,8 @@ def summarize_ground_truth(gt: dict, ranked_order: np.ndarray,
         "n_candidates": int(g),
         "n_ranked": int(len(ranked_order)),
         "top_k": int(min(top_k, len(top))),
+        "frac_centers_inside": (round(float(np.mean(
+            gt["center_sdf"] < 0)), 4) if g else None),
         "pool_mean_eps_mu0.6": round(pool_eps, 5),
         "pool_frac_fc_mu0.6": round(pool_fc, 4),
         "topk_mean_eps_mu0.6": (round(top_eps, 5)
