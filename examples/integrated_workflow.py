@@ -695,7 +695,10 @@ def report(args, names, n_rows, total_rows, times, det, log,
                 "",
                 f"- candidate pool: mean eps {gt['pool_mean_eps_mu0.6']},"
                 f" {gt['pool_frac_fc_mu0.6']:.0%} force-closure at mu 0.6,"
-                f" {gt['pool_frac_fc_mu2.0']:.0%} FC at mu 2.0",
+                f" {gt['pool_frac_fc_mu2.0']:.0%} FC at mu 2.0"
+                + (f" ({gt['frac_centers_inside']:.0%} of mapped grasp"
+                   " centers inside their object)"
+                   if gt.get("frac_centers_inside") is not None else ""),
                 f"- classifier top-{gt['top_k']}: mean eps"
                 f" {gt['topk_mean_eps_mu0.6']},"
                 f" {gt['topk_frac_fc_mu0.6']:.0%} FC at mu 0.6"
