@@ -272,9 +272,15 @@ def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0,
         # table segmentation (z=0 plane; the reference RANSAC-fits it)
         clouds.append(view_pts[view_pts[:, 2] > 0.004])
     pts = np.concatenate(clouds).astype(np.float32)
-    # normals orient toward a virtual viewpoint above the scene centroid
-    # (the merged cloud has no single camera; outward == away from table)
-    cam_pos = np.array([0.0, 0.0, 0.6], np.float32)
+    # normals orient toward the PRIMARY camera, the reference's semantics
+    # for a merged multi-kinect cloud (kinect2grasp.py:131-144 flips every
+    # normal toward cam_pos_). Round-5 funnel finding: an overhead virtual
+    # viewpoint flips side-surface normals INWARD for points facing away
+    # from scene center — GPG's downward guard then rejects 99.4% of
+    # dy-surviving frames (funnel 2790 -> 17 at 400 seeds). A low-elevation
+    # primary camera keeps its hemisphere's side normals outward, like the
+    # reference's rig.
+    cam_pos = views[0].astype(np.float32)
     gripper = Gripper()
 
     def run_preset(name, cfg):

@@ -148,6 +148,32 @@ def ground_truth_quality(frames: np.ndarray, objects, gripper: Gripper,
         cfg_o = configs[sel].copy()
         cfg_o[:, 0:3] = (configs[sel, 0:3] - tr) @ r  # R^T (c - t)
         cfg_o[:, 3:6] = configs[sel, 3:6] @ r
+
+        # refine the closing-line depth AGAINST THE EXACT SDF: the
+        # observed-points heuristic puts the center at the visible
+        # surface's mean depth, which on noisy multi-object clouds often
+        # lands just outside the body (measured 13-43% inside on the
+        # 20-object workflow scene before this). The ground-truth side
+        # KNOWS the object, so slide the center along the approach
+        # segment [0, hand_depth] to the SDF minimum — the most-interior
+        # point of the closing region the hand actually reaches.
+        app_o = np.asarray(frames[sel, 1], np.float32) @ r
+        bc_o = (np.asarray(frames[sel, 4], np.float32) - tr) @ r
+        depths = np.linspace(0.0, gripper.hand_depth, 17,
+                             dtype=np.float32)
+        cand_pts = (bc_o[:, None, :]
+                    + depths[None, :, None] * app_o[:, None, :])
+        vals = np.asarray(sdf_lib.signed_distance(
+            sdf, sdf_lib.world_to_grid(
+                sdf, jnp.asarray(cand_pts.reshape(-1, 3))))).reshape(
+                    len(sel), -1)
+        best = np.argmin(vals, axis=1)
+        refined = cand_pts[np.arange(len(sel)), best]
+        # keep the observed-depth center only when it is already interior
+        cur = np.asarray(sdf_lib.signed_distance(
+            sdf, sdf_lib.world_to_grid(sdf, jnp.asarray(cfg_o[:, 0:3]))))
+        cfg_o[:, 0:3] = np.where((cur < 0)[:, None], cfg_o[:, 0:3],
+                                 refined)
         cfg_dev = jnp.asarray(cfg_o)
 
         out["center_sdf"][sel] = np.asarray(sdf_lib.signed_distance(
