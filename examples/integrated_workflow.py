@@ -193,7 +193,8 @@ def split_labels(root: str, out_dir: str, train_frac: float = 0.8,
 
 
 def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0,
-                 num_classes: int = 2, num_seeds: int = 400):
+                 num_classes: int = 2, num_seeds: int = 400,
+                 num_point: int = 750):
     """Online path on the TRAINED model: compose a 3-object tabletop scene
     from the workflow's meshes via the native renderer, then run the
     GraspDetector on it (kinect2grasp.py end-to-end) with BOTH presets,
@@ -228,13 +229,18 @@ def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0,
     )
     from pointnetgpd_tpu.robot.node import DetectorConfig, GraspDetector
 
-    class _A:  # load_scorer's args shim
+    class _A:  # load_scorer's args shim. num_point matches the TRAINED
+        # model's crop size, like the reference pairs input_points_num to
+        # the loaded checkpoint (kinect2grasp.py:58-63) — scoring a
+        # 750-point-trained model on 500-point crops shifts the BN/pool
+        # statistics it was trained with.
         load_model = ckpt_dir
         model_type = None
         k = num_classes
-        num_point = 500
         repeat = 1
         ref_path = ""
+
+    _A.num_point = num_point
 
     scorer = load_scorer(_A)
     base = os.path.join(root, "PointNetGPD/data/ycb-tools/models/ycb")
@@ -322,16 +328,18 @@ def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0,
         "scene_objects": picks,
         "num_seeds": num_seeds,
         "production": run_preset("production", DetectorConfig.production(
-            cloud_pad_to=8192, max_num_samples=num_seeds)),
+            cloud_pad_to=8192, max_num_samples=num_seeds,
+            input_points_num=num_point)),
         "reference_parity": run_preset(
             "reference_parity", DetectorConfig.reference_parity(
-                cloud_pad_to=8192, max_num_samples=num_seeds)),
+                cloud_pad_to=8192, max_num_samples=num_seeds,
+                input_points_num=num_point)),
         # the deciding measurement for the seed_bias production default
         # (docs/FUNNEL.md): same production preset, height-biased seeds
         "production_height_bias": run_preset(
             "production_height_bias", DetectorConfig.production(
                 cloud_pad_to=8192, max_num_samples=num_seeds,
-                seed_bias="height")),
+                input_points_num=num_point, seed_bias="height")),
     }
     # headline fields mirror the production preset
     for k in ("candidates", "pred_hist", "good_grasps", "top_score"):

@@ -51,7 +51,7 @@ def configs_from_frames(frames: np.ndarray, gripper: Gripper,
     configs = np.zeros((g, 10), np.float32)
     for i, fr in enumerate(frames):
         bc, approach, major, minor = fr[4], fr[1], fr[2], fr[3]
-        depth = gripper.hand_depth / 2.0
+        off = approach * (gripper.hand_depth / 2.0)
         if points is not None and len(points):
             rel = points - bc
             x = rel @ approach
@@ -61,8 +61,15 @@ def configs_from_frames(frames: np.ndarray, gripper: Gripper,
                       & (np.abs(y) < gripper.open_width / 2.0)
                       & (np.abs(z) < gripper.hand_height / 2.0))
             if inside.sum() >= 3:
-                depth = float(np.mean(x[inside]))
-        center = bc + approach * depth
+                # center at the observed points' centroid in ALL THREE
+                # hand axes — the body can sit off the bc-through line
+                # along major/minor while still filling the closing
+                # region (the line alone mapped only ~50% of centers
+                # inside on the workflow tabletop)
+                off = (approach * float(np.mean(x[inside]))
+                       + major * float(np.mean(y[inside]))
+                       + minor * float(np.mean(z[inside])))
+        center = bc + off
         configs[i, 0:3] = center
         configs[i, 3:6] = major
         configs[i, 6] = gripper.open_width
@@ -150,18 +157,16 @@ def ground_truth_quality(frames: np.ndarray, objects, gripper: Gripper,
         cfg_o[:, 3:6] = configs[sel, 3:6] @ r
 
         # refine the closing-line depth AGAINST THE EXACT SDF: the
-        # observed-points heuristic puts the center at the visible
-        # surface's mean depth, which on noisy multi-object clouds often
-        # lands just outside the body (measured 13-43% inside on the
-        # 20-object workflow scene before this). The ground-truth side
-        # KNOWS the object, so slide the center along the approach
-        # segment [0, hand_depth] to the SDF minimum — the most-interior
-        # point of the closing region the hand actually reaches.
+        # observed-points centroid can still land just outside the body
+        # on noisy clouds. The ground-truth side KNOWS the object, so
+        # slide the center along the approach axis (+-hand_depth/2
+        # around the current choice) to the SDF minimum whenever the
+        # current center is not interior.
         app_o = np.asarray(frames[sel, 1], np.float32) @ r
-        bc_o = (np.asarray(frames[sel, 4], np.float32) - tr) @ r
-        depths = np.linspace(0.0, gripper.hand_depth, 17,
+        depths = np.linspace(-gripper.hand_depth / 2.0,
+                             gripper.hand_depth / 2.0, 17,
                              dtype=np.float32)
-        cand_pts = (bc_o[:, None, :]
+        cand_pts = (cfg_o[:, None, 0:3]
                     + depths[None, :, None] * app_o[:, None, :])
         vals = np.asarray(sdf_lib.signed_distance(
             sdf, sdf_lib.world_to_grid(
@@ -169,9 +174,8 @@ def ground_truth_quality(frames: np.ndarray, objects, gripper: Gripper,
                     len(sel), -1)
         best = np.argmin(vals, axis=1)
         refined = cand_pts[np.arange(len(sel)), best]
-        # keep the observed-depth center only when it is already interior
-        cur = np.asarray(sdf_lib.signed_distance(
-            sdf, sdf_lib.world_to_grid(sdf, jnp.asarray(cfg_o[:, 0:3]))))
+        # keep the observed-centroid center when it is already interior
+        cur = vals[:, 8]  # depth offset 0 == the current center
         cfg_o[:, 0:3] = np.where((cur < 0)[:, None], cfg_o[:, 0:3],
                                  refined)
         cfg_dev = jnp.asarray(cfg_o)
