@@ -348,10 +348,17 @@ def detect_stage(root: str, ckpt_dir: str, names, seed: int = 0,
 
 
 VARIANT_CFG = {
-    # training variant -> (classes, thresholds) for the report's label
-    # histogram + the detect stage's scorer head (cli/train.py VARIANTS)
-    "1v": dict(num_classes=2, thresh_good=0.6, thresh_bad=0.6),
-    "1v_mc": dict(num_classes=3, thresh_good=0.5, thresh_bad=1.2),
+    # training variant -> (classes, thresholds, crop size) for the report's
+    # label histogram + the detect stage's scorer (cli/train.py VARIANTS)
+    "1v": dict(num_classes=2, thresh_good=0.6, thresh_bad=0.6,
+               num_point=750),
+    "1v_mc": dict(num_classes=3, thresh_good=0.5, thresh_bad=1.2,
+                  num_point=750),
+    # fullv: merged multi-view training clouds (main_fullv.py) — the
+    # in-distribution choice when the deployment cloud merges several
+    # registered cameras (the detect stage's 3-view tabletop)
+    "fullv": dict(num_classes=2, thresh_good=0.6, thresh_bad=0.6,
+                  num_point=1000),
 }
 
 
@@ -361,7 +368,14 @@ def main(argv=None):
     p.add_argument("--objects", type=int, default=20)
     p.add_argument("--variant", choices=sorted(VARIANT_CFG), default="1v",
                    help="1v = 2-class main_1v semantics (thresh .6/.6, the"
-                   " separable design); 1v_mc = 3-class (round-4 setting)")
+                   " separable design); 1v_mc = 3-class (round-4 setting);"
+                   " fullv = merged multi-view training clouds"
+                   " (main_fullv.py) — in-distribution for the merged"
+                   " 3-view detect scene")
+    p.add_argument("--views-per-sample", type=int, default=None,
+                   help="override the variant's view-merge count")
+    p.add_argument("--cloud-points", type=int, default=None,
+                   help="override the variant's per-sample cloud size")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--steps-per-epoch", type=int, default=60)
@@ -434,20 +448,30 @@ def main(argv=None):
     stage("4_render_clouds", lambda: run_cli(
         ["pointnetgpd_tpu.pipelines.render_clouds", "--data-root", root],
         root, log))
-    model_path = os.path.join(root, "learned_models")
+    # per-variant checkpoint dir: a shared dir would resolve "newest step"
+    # across variants and hand the detect stage the wrong model
+    model_path = os.path.join(root, "learned_models"
+                              if args.variant == "1v"
+                              else f"learned_models_{args.variant}")
+    extra_train = []
+    if args.views_per_sample is not None:
+        extra_train += ["--views-per-sample", str(args.views_per_sample)]
+    if args.cloud_points is not None:
+        extra_train += ["--cloud-points", str(args.cloud_points)]
     stage(f"5_train_{args.variant}", lambda: run_cli(
         ["pointnetgpd_tpu.cli.train", "--variant", args.variant, "--mode",
          "train", "--tag", "wf20", "--epoch", str(args.epochs),
          "--batch-size", str(args.batch_size), "--steps-per-epoch",
          str(args.steps_per_epoch), "--eval-steps", "20",
          "--data-root", root, "--model-path",
-         model_path, "--log-dir", os.path.join(root, "log")], root, log))
+         model_path, "--log-dir", os.path.join(root, "log")]
+        + extra_train, root, log))
     stage(f"6_eval_{args.variant}", lambda: run_cli(
         ["pointnetgpd_tpu.cli.train", "--variant", args.variant, "--mode",
          "test", "--tag", "wf20", "--load-epoch", str(args.epochs - 1),
          "--batch-size", str(args.batch_size), "--eval-steps", "20",
          "--data-root", root, "--model-path", model_path,
-         "--log-dir", os.path.join(root, "log")], root, log))
+         "--log-dir", os.path.join(root, "log")] + extra_train, root, log))
     if args.gpd:
         # GPD projection-CNN baseline end to end through the same CLIs
         # (main_1v_gpd.py:50-115): 12-chann projection features are the
@@ -487,7 +511,8 @@ def main(argv=None):
         t0 = time.time()
         det = detect_stage(root, ckpt_dir, names, seed=args.seed,
                            num_classes=vcfg["num_classes"],
-                           num_seeds=args.num_seeds)
+                           num_seeds=args.num_seeds,
+                           num_point=vcfg["num_point"])
         times["8_detect_frame"] = time.time() - t0
         json.dump(times, open(times_path, "w"))
         json.dump(det, open(det_path, "w"))

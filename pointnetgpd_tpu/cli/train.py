@@ -68,7 +68,13 @@ def build_parser():
                    default=os.environ.get("PointNetGPD_FOLDER", ""))
     p.add_argument("--synthetic", action="store_true",
                    help="use generated data (no YCB assets needed)")
-    p.add_argument("--cloud-points", type=int, default=20000)
+    p.add_argument("--cloud-points", type=int, default=None,
+                   help="scene-cloud size per sample (default: the"
+                   " variant's, else 20000)")
+    p.add_argument("--views-per-sample", type=int, default=None,
+                   help="override the variant's view-merge count (the"
+                   " fullv datasets' pc_file_used_num, dataset.py:244-254;"
+                   " e.g. 3 to match a 3-camera merged deployment cloud)")
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -103,17 +109,22 @@ def main(argv=None):
     def make_data(tag, seed):
         if args.synthetic or not args.data_root:
             return SyntheticGraspData(
-                batch_size=cfg.batch_size, cloud_points=args.cloud_points,
+                batch_size=cfg.batch_size,
+                cloud_points=args.cloud_points or 20000,
                 num_classes=cfg.num_classes, seed=seed,
                 thresh_good=var["thresh_good"], thresh_bad=var["thresh_bad"])
         index = GraspDataIndex(args.data_root, tag=tag,
                                one_view=var["one_view"])
+        views = (args.views_per_sample if args.views_per_sample is not None
+                 else var.get("views_per_sample", 1))
+        cloud_points = (args.cloud_points if args.cloud_points is not None
+                        else var.get("cloud_points", 20000))
         return OneViewBatcher(
             index, cfg.batch_size,
-            cloud_points=var.get("cloud_points", args.cloud_points),
+            cloud_points=cloud_points,
             num_classes=cfg.num_classes, thresh_good=var["thresh_good"],
             thresh_bad=var["thresh_bad"], seed=seed,
-            views_per_sample=var.get("views_per_sample", 1))
+            views_per_sample=views)
 
     trainer = Trainer(cfg, make_data("train", args.seed),
                       make_data("test", args.seed + 1))
