@@ -633,6 +633,14 @@ def report(args, names, n_rows, total_rows, times, det, log,
             f"- GPD projection-CNN baseline (variant 1v_gpd,"
             f" {args.gpd_epochs} epochs, main_1v_gpd.py path): test acc"
             f" {gpd_acc:.3f} on the same split")
+    for other in sorted(VARIANT_CFG):
+        if other == args.variant:
+            continue
+        acc_o = _parse_eval_acc(log, variant=other)
+        if acc_o is not None:
+            lines.append(
+                f"- variant {other} (also trained this run): test acc"
+                f" {acc_o:.3f}")
     if yield_summary:
         ys = yield_summary
         lines += [

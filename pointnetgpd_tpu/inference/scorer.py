@@ -101,22 +101,26 @@ def score_cloud_batch(params, state, clouds, valid, key, *,
 
 
 @functools.partial(jax.jit, static_argnames=("dual", "num_points", "repeat",
-                                              "min_points"))
+                                              "min_points", "crop_recenter"))
 def score_candidates_fused(params, state, pc, cand_frames, valid_in,
                            hand_depth, width, key, *, dual: bool = False,
                            num_points: int = 500, repeat: int = 1,
-                           min_points: int = 50):
+                           min_points: int = 50,
+                           crop_recenter: bool = False):
     """The ENTIRE per-frame scoring pipeline as one device program: crop +
     resample + forward + vote + rank — one dispatch per scene instead of the
     reference's per-candidate loop (kinect2grasp.py:454-497) or even two
-    separate jit calls. Returns (pred, prob, counts, valid, order) where
-    ``order`` ranks candidates by best-class probability descending with
-    invalid/bad candidates pushed to the end."""
+    separate jit calls. ``crop_recenter`` switches the crop to the TRAINING
+    frame convention (ops/crop.collect_candidate_clouds docstring — fixes
+    the reference's train/deploy crop mismatch). Returns (pred, prob,
+    counts, valid, order) where ``order`` ranks candidates by best-class
+    probability descending with invalid/bad candidates pushed to the end."""
     k_crop, k_score = jax.random.split(key)
     clouds, counts, valid = collect_candidate_clouds(
         cand_frames[:, 0], cand_frames[:, 1], cand_frames[:, 2],
         cand_frames[:, 3], pc, hand_depth, width, k_crop,
-        num_out=num_points, min_point_limit=min_points)
+        num_out=num_points, min_point_limit=min_points,
+        recenter=crop_recenter)
     valid = valid & valid_in
     pred, prob, _ = score_cloud_batch(
         params, state, clouds, valid, k_score, dual=dual,
@@ -153,6 +157,9 @@ class GraspScorer:
     pad_to: int = 64
     min_points: int = 50  # minimal_points_send_to_point_net analogue
     mesh: Any = None
+    # True = crop candidates in the TRAINING frame convention instead of
+    # the reference's online box (ops/crop.collect_candidate_clouds)
+    crop_recenter: bool = False
     _best_class: int = field(init=False)
 
     def __post_init__(self):
@@ -211,7 +218,7 @@ class GraspScorer:
                            k=self.k, dual=self.dual,
                            num_points=self.num_points, repeat=self.repeat,
                            pad_to=self.pad_to, min_points=self.min_points,
-                           mesh=self.mesh)
+                           mesh=self.mesh, crop_recenter=self.crop_recenter)
 
     # ------------------------------------------------------------------
     def score_clouds(self, clouds, valid=None, seed: int = 0):
@@ -314,7 +321,7 @@ class GraspScorer:
             jnp.float32(hand_depth), jnp.float32(width),
             jax.random.PRNGKey(seed),
             dual=self.dual, num_points=self.num_points, repeat=self.repeat,
-            min_points=self.min_points,
+            min_points=self.min_points, crop_recenter=self.crop_recenter,
         )
         return PendingScore(out=out, extra_fetch=extra_fetch, g=g)
 

@@ -476,7 +476,8 @@ def collect_grasp_clouds_batched(
     return points, counts, valid
 
 
-@functools.partial(jax.jit, static_argnames=("num_out", "min_point_limit"))
+@functools.partial(jax.jit, static_argnames=("num_out", "min_point_limit",
+                                             "recenter"))
 def collect_candidate_clouds(
     bottom_centers,
     approaches,
@@ -489,13 +490,27 @@ def collect_candidate_clouds(
     *,
     num_out: int = 500,
     min_point_limit: int = 10,
+    recenter: bool = False,
 ):
     """Batched online-path crop == vmapped kinect2grasp.py collect_pc
     (use_dataset_py=True box, kinect2grasp.py:216-233).
 
     Box: x in (0, hand_depth), y in +-width/2, z in +-width/4, where width is
-    the gripper opening (hand_outer_diameter - 2*finger_width).
-    Returns (points (G, num_out, 3), counts (G,), valid (G,)).
+    the gripper opening (hand_outer_diameter - 2*finger_width), measured
+    from the hand BOTTOM CENTER.
+
+    ``recenter=True`` fixes the reference's own train/deploy frame mismatch
+    (docs/QUIRKS.md): the TRAINING crop (dataset.py:50-69) is taken around
+    the grasp CENTER with box x,z in +-width/4, y in +-width/2, so its x
+    coordinates are near-zero-mean — while this online crop spans
+    x in (0, hand_depth), shifting every deployed input ~hand_depth/2 along
+    x out of the training support (measured: class-good probability < 1e-3
+    for EVERY candidate of a scene whose ground-truth pool is 45% good).
+    With recenter, a first pass estimates the grasp-center depth as the
+    in-box points' mean x and the final crop is the TRAINING box around
+    that center — the deployed input distribution matches what the model
+    was trained on. Returns (points (G, num_out, 3), counts (G,),
+    valid (G,)).
     """
     g = bottom_centers.shape[0]
     if pc.shape[0] == 0:  # static shape: empty scene -> all-invalid crops
@@ -507,13 +522,31 @@ def collect_candidate_clouds(
 
     rot_rows = jnp.stack([normalize(approaches), normalize(binormals),
                           normalize(minor_normals)], axis=1)    # (G, 3, 3)
-    box_lo = jnp.stack([jnp.zeros_like(width), -width / 2.0, -width / 4.0])
-    box_hi = jnp.stack([hand_depth * jnp.ones_like(width), width / 2.0,
-                        width / 4.0])
-    box_lo = jnp.broadcast_to(box_lo, (g, 3))
-    box_hi = jnp.broadcast_to(box_hi, (g, 3))
 
-    points, counts = _crop_batch(pc, bottom_centers, rot_rows, box_lo,
+    if recenter:
+        # pass 1: reference-box membership -> per-candidate grasp-center
+        # depth estimate (mean in-box x), cheap masked reduction
+        rel = pc[None, :, :] - bottom_centers[:, None, :]       # (G, P, 3)
+        loc = jnp.einsum("gpj,gij->gpi", rel, rot_rows)
+        inref = ((loc[..., 0] > 0) & (loc[..., 0] < hand_depth)
+                 & (jnp.abs(loc[..., 1]) < width / 2.0)
+                 & (jnp.abs(loc[..., 2]) < width / 4.0))
+        n_in = jnp.maximum(jnp.sum(inref, axis=1), 1)
+        xbar = jnp.sum(jnp.where(inref, loc[..., 0], 0.0), axis=1) / n_in
+        centers = bottom_centers + approaches * xbar[:, None]
+        box_hi = jnp.stack([width / 4.0, width / 2.0, width / 4.0])
+        box_hi = jnp.broadcast_to(box_hi, (g, 3))
+        box_lo = -box_hi
+    else:
+        centers = bottom_centers
+        box_lo = jnp.stack([jnp.zeros_like(width), -width / 2.0,
+                            -width / 4.0])
+        box_hi = jnp.stack([hand_depth * jnp.ones_like(width), width / 2.0,
+                            width / 4.0])
+        box_lo = jnp.broadcast_to(box_lo, (g, 3))
+        box_hi = jnp.broadcast_to(box_hi, (g, 3))
+
+    points, counts = _crop_batch(pc, centers, rot_rows, box_lo,
                                  box_hi, num_out, key)
     valid = counts >= min_point_limit
     points = jnp.where(valid[:, None, None], points, 0.0)

@@ -106,6 +106,14 @@ class DetectorConfig:
     # seed-window frames (grasping/samplers.py gpg_sample_candidates
     # ``exact``); parity audits pin the reference's exact-KNN semantics
     sampler_exact: bool = False
+    # candidate crop convention: "reference" = the kinect2grasp box
+    # (x in (0, hand_depth) from the hand bottom, :216-233) — which is NOT
+    # the frame the classifier was trained in (the dataset crop is
+    # grasp-CENTERED, dataset.py:50-69; the reference deploys with this
+    # mismatch and every crop arrives ~hand_depth/2 off-distribution —
+    # docs/QUIRKS.md). "dataset" = re-center each crop to the training
+    # convention (ops/crop.collect_candidate_clouds recenter)
+    crop_mode: str = "reference"
     # GPG seed selection bias: "none" = uniform over above-table points
     # (the reference's online behavior, kinect2grasp.py:145-147);
     # "height" = Gaussian-over-height Gumbel-top-k weighting toward
@@ -124,7 +132,8 @@ class DetectorConfig:
         for parity audits against the reference pipeline."""
         cfg = dict(lazy_normals=False, upload_dtype="float32",
                    normal_window=0, adaptive_bucket=False,
-                   sampler_exact=True, seed_bias="none")
+                   sampler_exact=True, seed_bias="none",
+                   crop_mode="reference")
         cfg.update(overrides)
         return cls(**cfg)
 
@@ -135,10 +144,14 @@ class DetectorConfig:
         normals, fp16 relay upload, Morton-window KNN, adaptive voxel-count
         buckets. Statistical approximations with measured error bars
         (docs/NORMAL_APPROX.md); results depend on stream history via the
-        bucket predictor."""
+        bucket predictor. Round 5 adds crop_mode="dataset": candidate
+        crops are re-centered to the TRAINING frame convention (the
+        reference deploys with a train/deploy crop mismatch that pushes
+        every input off-distribution — docs/QUIRKS.md)."""
         cfg = dict(lazy_normals=True, upload_dtype="float16",
                    normal_window=2048, adaptive_bucket=True,
-                   sampler_exact=False, seed_bias="none")
+                   sampler_exact=False, seed_bias="none",
+                   crop_mode="dataset")
         cfg.update(overrides)
         return cls(**cfg)
 
@@ -166,6 +179,7 @@ class GraspDetector:
         self.scorer.num_points = self.cfg.input_points_num
         self.scorer.repeat = self.cfg.repeat
         self.scorer.min_points = self.cfg.minimal_points_send_to_point_net
+        self.scorer.crop_recenter = self.cfg.crop_mode == "dataset"
         self._last_voxel_count: int | None = None  # adaptive_bucket state
 
     def warmup(self, max_points: int, cam_pos=(1.0, 1.0, 1.0)):

@@ -230,6 +230,39 @@ def test_online_crop_box_semantics():
     assert bool(valid[0])
 
 
+def test_online_crop_recenter_matches_training_convention():
+    """recenter=True (DetectorConfig crop_mode='dataset') must produce
+    crops in the TRAINING frame: coordinates centered at the in-box
+    points' mean depth with the dataset box (x,z in +-width/4,
+    y in +-width/2, dataset.py:57-69) — the fix for the reference's
+    train/deploy crop mismatch (docs/QUIRKS.md)."""
+    rng = np.random.RandomState(0)
+    # a dense slab of points at depth x ~ [0.03, 0.05] in front of the hand
+    pc = np.stack([rng.uniform(0.03, 0.05, 600),
+                   rng.uniform(-0.03, 0.03, 600),
+                   rng.uniform(-0.015, 0.015, 600)], axis=1).astype(
+                       np.float32)
+    args = (jnp.zeros((1, 3)), jnp.asarray([[1.0, 0, 0]]),
+            jnp.asarray([[0.0, 1.0, 0]]), jnp.asarray([[0.0, 0, 1.0]]),
+            jnp.asarray(pc), jnp.float32(0.06), jnp.float32(0.08),
+            jax.random.PRNGKey(0))
+    pts_ref, counts_ref, _ = collect_candidate_clouds(
+        *args, num_out=256, min_point_limit=10)
+    pts_rc, counts_rc, valid_rc = collect_candidate_clouds(
+        *args, num_out=256, min_point_limit=10, recenter=True)
+    assert bool(valid_rc[0])
+    ref = np.asarray(pts_ref[0])
+    rc = np.asarray(pts_rc[0])
+    # reference crop x sits at the slab's absolute depth (~0.04); the
+    # recentered crop's x must be near zero-mean like a training crop
+    assert abs(ref[:, 0].mean() - 0.04) < 0.005
+    assert abs(rc[:, 0].mean()) < 0.005
+    # recentered box bounds: x,z in +-width/4, y in +-width/2
+    assert np.abs(rc[:, 0]).max() < 0.02 + 1e-6
+    assert np.abs(rc[:, 1]).max() < 0.04 + 1e-6
+    assert np.abs(rc[:, 2]).max() < 0.02 + 1e-6
+
+
 class TestPrefixRankSelect:
     """The scene-path selection strategy (G >= 32 candidates, P > 4096):
     shuffle + prefix-sum rank-select must keep the exact crop semantics."""
