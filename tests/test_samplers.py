@@ -411,6 +411,54 @@ class TestAdaptiveLoaSampling:
         assert adaptive_num_samples(sdf, 0.3, cap=128) == 128
 
 
+class TestLabelYieldAccounting:
+    """Quota/exhaustion bookkeeping of the labeling while-loop (round-5
+    yield accounting; the reference's loop runs to quota with no books,
+    generate-dataset-canny.py:109-134)."""
+
+    def test_patience_declares_ungraspable_object_exhausted(self):
+        """A sphere wider than the hand everywhere (min antipodal chord
+        2r*cos(atan(mu)) = 0.109 > max_width 0.085 at the sampling mu=2.0)
+        accepts nothing; the patience escape must stop the loop — the
+        reference's unbounded while-loop would spin forever."""
+        from pointnetgpd_tpu.pipelines.generate_dataset import (
+            label_grasps_for_object,
+        )
+        from pointnetgpd_tpu.pipelines.parity import (
+            _sdf_grid_from_fn, _sphere_sdf,
+        )
+
+        sdf = _sdf_grid_from_fn(_sphere_sdf(0.12), 0.26, 48, 0.011)
+        res = label_grasps_for_object(
+            sdf, np.zeros(3, np.float32), Gripper(), jax.random.PRNGKey(1),
+            grasps_per_class=2, patience=2, batch_attempts=64)
+        assert len(res.rows) == 0
+        assert res.stats["exhausted"] and not res.stats["quota_met"]
+        assert res.stats["rounds"] == 2  # stopped by patience, not budget
+
+    def test_books_balance(self):
+        """rows/counts/stats must agree; a 2-round budget cannot fill a
+        50/class quota, and a run that accepted rows is not 'exhausted'."""
+        from pointnetgpd_tpu.pipelines.generate_dataset import (
+            label_grasps_for_object,
+        )
+        from pointnetgpd_tpu.pipelines.parity import (
+            _box_sdf, _sdf_grid_from_fn,
+        )
+
+        sdf = _sdf_grid_from_fn(_box_sdf((0.024, 0.030, 0.020)), 0.03,
+                                100, 0.00062)
+        res = label_grasps_for_object(
+            sdf, np.zeros(3, np.float32), Gripper(), jax.random.PRNGKey(0),
+            grasps_per_class=50, max_rounds=2, batch_attempts=128)
+        assert len(res.rows) > 0
+        assert res.stats["accepted"] == len(res.rows) == int(res.counts.sum())
+        assert res.stats["per_class"] == res.counts.tolist()
+        assert res.stats["rounds"] == 2
+        assert not res.stats["quota_met"]
+        assert not res.stats["exhausted"]
+
+
 class TestGpgPaddedSeeds:
     def test_tiny_cloud_pad_slots_invalid(self):
         """Clouds smaller than num_seeds edge-pad the seed index buffer;
