@@ -34,6 +34,7 @@ from .quality import (
     grasp_matrix,
     grasp_isotropy,
     min_norm_in_simplex,
+    min_norm_in_simplex_batch,
     min_singular,
     partial_closure,
     wrench_in_positive_span,

@@ -198,6 +198,70 @@ def min_norm_in_simplex(vertices, num_iters: int = 200,
     return min_norm, x
 
 
+def _project_simplex_cols(v):
+    """Simplex projection of every COLUMN of ``v`` ((n, G) — lane-packed).
+
+    Same sorted algorithm as _project_simplex, but with the batch index on
+    the minor (lane) axis: every op in the projection is a fully packed
+    G-wide vector op instead of an n-in-128-lanes one (the 6-D facet
+    solver's lane-layout lesson — see _solve_ones_batched / SCALING.md).
+    """
+    n = v.shape[0]
+    u = jnp.sort(v, axis=0)[::-1]
+    css = jnp.cumsum(u, axis=0) - 1.0
+    idx = jnp.arange(1, n + 1, dtype=v.dtype)[:, None]
+    cond = u - css / idx > 0
+    rho = jnp.sum(cond, axis=0)
+    theta = jnp.take_along_axis(
+        css, (rho - 1)[None, :].astype(jnp.int32), axis=0)[0] \
+        / rho.astype(v.dtype)
+    return jnp.maximum(v - theta[None, :], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def min_norm_in_simplex_batch(vertices, num_iters: int = 300,
+                              wrench_regularizer: float = DEFAULT_WRENCH_REGULARIZER):
+    """Batched min_norm_in_simplex over (G, n, d) vertex sets, SoA layout.
+
+    Functionally identical to ``vmap(min_norm_in_simplex)`` (same FISTA
+    iteration, same step rule) but keeps the BATCH index on the minor
+    (lane) axis through the whole loop: iterates are (n, G) and the Gram
+    matrices (n, n, G), so the matvec is n^2 fully packed G-wide
+    multiply-adds and the simplex projection sorts n-element columns with
+    G on the lanes. The vmapped form leaves (G, n) rows with n = 16 in
+    128-wide lanes — an 8x underfill tax on every op of the loop (the same
+    pathology the facet solver's SoA rewrite fixed; SCALING.md "6-D facet
+    enumeration"). Returns (min_norms (G,), coefficients (G, n)).
+    """
+    v = vertices
+    g, n, _ = v.shape
+    gram = jnp.einsum("gnd,gmd->nmg", v, v) \
+        + wrench_regularizer * jnp.eye(n, dtype=v.dtype)[:, :, None]
+    lip = 2.0 * jnp.maximum(jnp.trace(gram, axis1=0, axis2=1), 1e-12)
+    step = (1.0 / lip)[None, :]
+
+    def matvec(y):
+        # (n, n, G) x (n, G) -> (n, G): broadcast-multiply + reduce keeps
+        # the contraction on the VPU with G packing the lanes (a
+        # dot_general would batch over G and underfill the MXU instead)
+        return jnp.sum(gram * y[None, :, :], axis=1)
+
+    x0 = jnp.full((n, g), 1.0 / n, dtype=v.dtype)
+
+    def body(_, carry):
+        x, y, t = carry
+        grad = 2.0 * matvec(y)
+        x_new = _project_simplex_cols(y - step * grad)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+        return x_new, y_new, t_new
+
+    x, _, _ = jax.lax.fori_loop(0, num_iters, body,
+                                (x0, x0, jnp.asarray(1.0, v.dtype)))
+    min_norms = jnp.sqrt(jnp.maximum(jnp.sum(x * matvec(x), axis=0), 0.0))
+    return min_norms, x.T
+
+
 def closest_point_on_triangle_to_origin(a, b, c):
     """Exact distance from the origin to triangle (a, b, c) in 3-D.
 
@@ -339,10 +403,8 @@ def ferrari_canny_l1(g6, wrench_norm_thresh: float = DEFAULT_WRENCH_NORM_THRESH,
         return 0.0
 
     facets = jnp.asarray(g6[hull.simplices])  # (F, 6, 6) vertex rows per facet
-    dists, _ = jax.vmap(
-        lambda f: min_norm_in_simplex(f, num_iters=num_iters,
-                                      wrench_regularizer=wrench_regularizer)
-    )(facets)
+    dists, _ = min_norm_in_simplex_batch(facets, num_iters=num_iters,
+                                         wrench_regularizer=wrench_regularizer)
     return float(jnp.min(dists))
 
 
@@ -524,13 +586,14 @@ def ferrari_canny_l1_device_batch(
     g = g6_batch.shape[0]
     if valid is None:
         valid = jnp.ones((g,), bool)
-    # hull guards for the WHOLE batch in parallel (the min-norm QP is a
-    # fixed-iteration projected-gradient loop — vmap costs nothing and
-    # avoids serializing G x num_iters steps through the scan below)
-    mn, coeffs = jax.vmap(
-        lambda gg: min_norm_in_simplex(
-            gg, num_iters=num_iters,
-            wrench_regularizer=wrench_regularizer))(g6_batch)
+    # hull guards for the WHOLE batch in parallel, SoA layout (grasps on
+    # the lane axis): the vmapped per-grasp QP left 16-wide rows in
+    # 128-wide lanes and was this function's dominant term (14.9 ms for
+    # 256 grasps at the bench shape); the lane-packed batch QP beat it in
+    # a same-run A/B and cut the whole batched call roughly in half
+    mn, coeffs = min_norm_in_simplex_batch(
+        g6_batch, num_iters=num_iters,
+        wrench_regularizer=wrench_regularizer)
     ok = (valid & (mn <= wrench_norm_thresh)
           & (jnp.sum(coeffs > 1e-4, axis=1) > g6_batch.shape[2] - 1))
 

@@ -123,6 +123,21 @@ class TestMinNormSimplex:
         np.testing.assert_allclose(float(d), 0.5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(x), [1.0])
 
+    def test_batch_matches_per_grasp(self):
+        # the SoA lane-packed batch QP is the same FISTA iteration as the
+        # per-set function — outputs must agree to reduction-order rounding
+        from pointnetgpd_tpu.grasping import min_norm_in_simplex_batch
+        rng = np.random.RandomState(11)
+        for n, d in [(16, 6), (6, 6), (7, 3), (1, 6)]:
+            v = jnp.asarray(rng.randn(13, n, d) * rng.uniform(0.1, 3.0))
+            d_batch, x_batch = min_norm_in_simplex_batch(v, num_iters=300)
+            d_ref, x_ref = jax.vmap(
+                lambda vv: min_norm_in_simplex(vv, num_iters=300))(v)
+            np.testing.assert_allclose(np.asarray(d_batch), np.asarray(d_ref),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(x_batch), np.asarray(x_ref),
+                                       atol=1e-4)
+
     def test_matches_scipy_qp(self):
         rng = np.random.RandomState(3)
         for _ in range(20):
