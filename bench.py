@@ -192,6 +192,20 @@ def bench_tpu(baseline):
 
     params, state = init_pointnet_cls(jax.random.PRNGKey(0), input_chann=3, k=3)
 
+    # chip-health anchor, recorded FIRST: an 8192^3 fp32 matmul measures
+    # ~10.2 ms (108 TFLOP/s) on this attachment when healthy; the tunneled
+    # relay occasionally degrades 20-50x for tens of minutes (observed
+    # 217-564 ms during round 5). Recording it with every capture makes a
+    # degraded-relay bench self-diagnosing instead of silently 20x slow.
+    mm_a = jnp.ones((8192, 8192), jnp.float32)
+    mm_f = jax.jit(lambda x, y: x @ y)
+
+    def _anchor(i):
+        return mm_f(mm_a + np.float32(i), mm_a)
+
+    anchor_ms = _timed(_anchor, n=4) * 1e3
+    RESULT["extras"]["matmul_anchor_8192_ms"] = round(anchor_ms, 1)
+
     rs = np.random.RandomState(0)
     pc = (rs.rand(SCENE_POINTS, 3) * [0.08, 0.06, 0.05]).astype(np.float32)
     centers = (rs.rand(N_CANDIDATES, 3) * [0.08, 0.06, 0.05]).astype(np.float32)
