@@ -387,6 +387,38 @@ def close_fingers(sdf: sdf_lib.SdfGrid, configs, *, num_samples: int = 40,
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples",))
+def approach_collision_free(sdf: sdf_lib.SdfGrid, config, angles, *,
+                            num_samples: int = 40,
+                            approach_dist: float = 1.0):
+    """The check_approach half of ``close_fingers``, alone, per angle.
+
+    Of close_fingers' work, ONLY the approach-collision test depends on
+    the grasp's approach angle (grasp.py:475-484) — the closing lines and
+    contacts are functions of center/axis/width alone. Callers that scan
+    angle candidates (the antipodal sampler, grasp_sampler.py:757-768)
+    use this per-angle test plus ONE angle-independent close_fingers
+    instead of re-closing the fingers once per angle. Returns an
+    (A,) bool mask: True = collision-free (strict mode: any on-surface
+    approach sample is a collision).
+    """
+    center, axis, width = config[0:3], config[3:6], config[6]
+    axis = axis / jnp.linalg.norm(axis)
+    g1 = sdf_lib.world_to_grid(sdf, center - (width / 2.0) * axis)
+    g2 = sdf_lib.world_to_grid(sdf, center + (width / 2.0) * axis)
+    adist_grid = approach_dist / sdf.resolution
+
+    def one(angle):
+        approach_axis = rotated_full_axis(axis, angle)[:, 0]
+        loa_a1 = line_of_action(g1, -approach_axis, adist_grid, num_samples)
+        loa_a2 = line_of_action(g2, -approach_axis, adist_grid, num_samples)
+        _, _, hit1 = find_contact(sdf, loa_a1)
+        _, _, hit2 = find_contact(sdf, loa_a2)
+        return ~(hit1 | hit2)
+
+    return jax.vmap(one)(angles)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
 def grasp_from_contact_and_axis(sdf: sdf_lib.SdfGrid, c1_world, axis_world,
                                 width_world, *, num_samples: int = 40,
                                 min_width_world=0.0, backup: float = 0.5):

@@ -97,6 +97,34 @@ class TestContactFinding:
         # with it, the palm sweep through the sphere must reject the grasp
         assert not bool(blocked.found[0])
 
+    def test_approach_collision_free_matches_close_fingers(self, sphere):
+        """approach_collision_free(config, angles) must equal the per-angle
+        check_approach close_fingers decomposition: found(check_approach) ==
+        approach_ok & found(no check) for every angle candidate — the
+        antipodal sampler relies on this factorization."""
+        from pointnetgpd_tpu.grasping.grasp import approach_collision_free
+        from pointnetgpd_tpu.grasping.samplers import APPROACH_ANGLE_CANDIDATES
+        angles = jnp.asarray(APPROACH_ANGLE_CANDIDATES)
+        for center, axis in [
+            (jnp.zeros(3), jnp.asarray([0.0, 1.0, 0.0])),
+            (jnp.asarray([RADIUS + 2 * RES, 0.0, 0.0]),
+             jnp.asarray([0.0, 0.0, 1.0])),
+            (jnp.asarray([0.0, RADIUS - RES, 0.0]),
+             jnp.asarray([1.0, 0.0, 0.0])),
+        ]:
+            config = configuration_from_params(center, axis, 0.18)
+            ok = np.asarray(approach_collision_free(
+                sphere, config, angles, num_samples=60))
+            configs_a = jnp.tile(config, (angles.shape[0], 1))
+            configs_a = configs_a.at[:, 7].set(angles)
+            with_app = np.asarray(close_fingers(
+                sphere, configs_a, num_samples=60, check_approach=True,
+                num_approach_samples=60).found)
+            without = np.asarray(close_fingers(
+                sphere, configs_a, num_samples=60,
+                check_approach=False).found)
+            np.testing.assert_array_equal(with_app, ok & without)
+
     def test_grasp_from_contact_and_axis(self, sphere):
         c1 = jnp.asarray([-RADIUS, 0.0, 0.0])
         config, contacts, valid = grasp_from_contact_and_axis(
